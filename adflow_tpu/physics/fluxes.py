@@ -1,0 +1,177 @@
+"""Inviscid fluxes: central + JST scalar dissipation, spectral radii.
+
+Reference analogues (`/root/reference/src/solver/fluxes.F90`):
+- ``inviscidCentralFlux`` (:4) — here: average-of-analytic-fluxes form.
+- ``inviscidDissFluxScalar`` (:1049) — JST 2nd/4th-difference blend with a
+  pressure-based shock sensor and directionally-scaled spectral radii
+  (``dissipationScalingExponent``), energy row differenced on rhoE+p.
+- spectral radii: ``timeStep_block`` (`src/solver/solverUtils.F90:43`).
+
+Everything is written as whole-array slicing over the halo-padded block so
+XLA fuses the stencils; the same functions are the reference point for the
+Pallas blockette kernel (SURVEY.md §2.5).
+
+Shapes for a block with (ni, nj, nk) interior cells:
+  w, p: halo-padded (ni+4, nj+4, nk+4, ...)
+  si: (ni+1, nj, nk, 3), sj/sk analogous
+  returns residual contributions on the interior (ni, nj, nk, 5).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from adflow_tpu.core.refstate import GAMMA
+from adflow_tpu.physics.thermo import IMX, IMZ, IRHO, IRHOE
+
+
+def _euler_flux(w, p, svec):
+    """F(w) . S for conservative w and face-area vector svec (trailing 3)."""
+    rho = w[..., IRHO]
+    m = w[..., IMX:IMZ + 1]
+    q = jnp.sum(m * svec, axis=-1) / rho          # u.S
+    fmass = rho * q
+    fmom = m * q[..., None] + p[..., None] * svec
+    fen = (w[..., IRHOE] + p) * q
+    return jnp.concatenate(
+        [fmass[..., None], fmom, fen[..., None]], axis=-1)
+
+
+def _shift(a, axis, lo, hi):
+    """a sliced [lo : len+hi] along axis (hi <= 0 means from the end)."""
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(lo, a.shape[axis] + hi if hi < 0 else None)
+    return a[tuple(idx)]
+
+
+def extended_face_areas(metrics):
+    """Face-area arrays edge-padded by 1 in every direction, for spectral
+    radii on the one-ring extended cell grid."""
+    siE = jnp.pad(metrics.si, ((1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
+    sjE = jnp.pad(metrics.sj, ((1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
+    skE = jnp.pad(metrics.sk, ((1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
+    return siE, sjE, skE
+
+
+def spectral_radii(w, p, metrics) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Convective spectral radii (radI, radJ, radK) per cell on the one-ring
+    extended grid: shape (ni+2, nj+2, nk+2). rad = |u . sAvg| + c |sAvg|."""
+    wE = w[1:-1, 1:-1, 1:-1]
+    pE = p[1:-1, 1:-1, 1:-1]
+    rho = wE[..., IRHO]
+    vel = wE[..., IMX:IMZ + 1] / rho[..., None]
+    c = jnp.sqrt(GAMMA * pE / rho)
+    siE, sjE, skE = extended_face_areas(metrics)
+
+    def rad(sE, axis):
+        s_avg = 0.5 * (_shift(sE, axis, 0, -1) + _shift(sE, axis, 1, 0))
+        un = jnp.abs(jnp.sum(vel * s_avg, axis=-1))
+        return un + c * jnp.linalg.norm(s_avg, axis=-1)
+
+    return rad(siE, 0), rad(sjE, 1), rad(skE, 2)
+
+
+def scaled_diss_radii(radI, radJ, radK, exponent: float):
+    """Directional scaling of the dissipation coefficient,
+    phi_i = 1 + (radJ/radI)^x + (radK/radI)^x (fluxes.F90 JST scaling)."""
+    eps = 1e-30
+
+    def scale(ra, rb, rc):
+        return ra * (1.0 + (rb / (ra + eps)) ** exponent
+                     + (rc / (ra + eps)) ** exponent)
+
+    return (scale(radI, radJ, radK), scale(radJ, radI, radK),
+            scale(radK, radI, radJ))
+
+
+def inviscid_residual(w, p, metrics, vis2: float, vis4: float,
+                      diss_exponent: float = 0.67):
+    """Central + JST residual on the interior, positive = net outflow.
+
+    Returns R with shape (ni, nj, nk, 5): sum over faces of
+    (central flux - artificial dissipation flux) . S.
+    """
+    radI, radJ, radK = spectral_radii(w, p, metrics)
+    sradI, sradJ, sradK = scaled_diss_radii(radI, radJ, radK, diss_exponent)
+
+    # shock sensor per cell on the extended grid needs p two-deep: full array
+    nu = _pressure_sensor(p)
+
+    # rhoE+p in the dissipation energy row (5 mean-flow vars only)
+    wd = jnp.concatenate(
+        [w[..., :IRHOE], (w[..., IRHOE] + p)[..., None]], axis=-1)
+
+    R = None
+    for axis, (s, srad) in enumerate(
+            [(metrics.si, sradI), (metrics.sj, sradJ), (metrics.sk, sradK)]):
+        flux = _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4)
+        dR = _shift(flux, axis, 1, 0) - _shift(flux, axis, 0, -1)
+        R = dR if R is None else R + dR
+    return R
+
+
+def _pressure_sensor(p):
+    """JST pressure switch nu = |d2p| / (p_{+1} + 2p + p_{-1}) per cell, on
+    the one-ring extended grid, max over the three directions."""
+    nu = None
+    pe = p
+    for axis in range(3):
+        pm = _shift(pe, axis, 0, -2)
+        p0 = _shift(pe, axis, 1, -1)
+        pp = _shift(pe, axis, 2, 0)
+        s = jnp.abs(pp - 2.0 * p0 + pm) / (pp + 2.0 * p0 + pm)
+        # restrict other axes to the extended range [1:-1]
+        idx = [slice(1, -1)] * 3
+        idx[axis] = slice(None)
+        s = s[tuple(idx)]
+        nu = s if nu is None else jnp.maximum(nu, s)
+    return nu
+
+
+def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4):
+    """Total face flux (central - dissipation) along one axis.
+
+    Face f (0..n_ax) separates interior cells f-1, f; in padded coords the
+    four-cell stencil is w[f .. f+3]. Output shape: faces x interior
+    tangential x 5.
+    """
+    it = [slice(2, -2)] * 3
+    it[axis] = slice(None)
+
+    wLL = _shift(w, axis, 0, -3)[tuple(it)]
+    wL = _shift(w, axis, 1, -2)[tuple(it)]
+    wR = _shift(w, axis, 2, -1)[tuple(it)]
+    wRR = _shift(w, axis, 3, 0)[tuple(it)]
+    pL = _shift(p, axis, 1, -2)[tuple(it)]
+    pR = _shift(p, axis, 2, -1)[tuple(it)]
+
+    central = 0.5 * (_euler_flux(wL[..., :5], pL, s)
+                     + _euler_flux(wR[..., :5], pR, s))
+
+    # -- JST dissipation --------------------------------------------------
+    # sensor and scaled radius live on the one-ring extended grid (n+2);
+    # faces need cells f-1 and f -> extended indices f and f+1.
+    et = [slice(1, -1)] * 3
+    et[axis] = slice(None)
+    nuA = nu[tuple(et)]
+    srA = srad[tuple(et)]
+    nuL = _shift(nuA, axis, 0, -1)
+    nuR = _shift(nuA, axis, 1, 0)
+    lamL = _shift(srA, axis, 0, -1)
+    lamR = _shift(srA, axis, 1, 0)
+    lam = 0.5 * (lamL + lamR)
+
+    eps2 = vis2 * jnp.maximum(nuL, nuR)
+    eps4 = jnp.maximum(0.0, vis4 - eps2)
+
+    dL = _shift(wd, axis, 1, -2)[tuple(it)]
+    dR = _shift(wd, axis, 2, -1)[tuple(it)]
+    dLL = _shift(wd, axis, 0, -3)[tuple(it)]
+    dRR = _shift(wd, axis, 3, 0)[tuple(it)]
+    d1 = dR - dL
+    d3 = dRR - 3.0 * dR + 3.0 * dL - dLL
+    diss = lam[..., None] * (eps2[..., None] * d1 - eps4[..., None] * d3)
+
+    return central - diss

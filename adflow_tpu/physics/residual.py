@@ -1,0 +1,141 @@
+"""Residual assembly: the single canonical R(w, x) pipeline.
+
+Reference analogue: ``blocketteRes`` (`/root/reference/src/NKSolver/
+blockette.F90:70`) — the one "evaluate residual" entry used by the smoothers,
+the NK/ANK matrix-vector products, AND the adjoint. The reference maintains
+two complete implementations (tiled blockette + residual_block,
+src/solver/residuals.F90:4); here there is exactly one, differentiated by
+jax.jvp/vjp, with tiling left to XLA (a Pallas twin of the same math is the
+perf path, ops/pallas_residual.py).
+
+Pipeline per evaluation (mirrors SURVEY.md §3.2 hot loop):
+  physical BCs -> b2b halo exchange -> physical BCs (corner fix-up)
+  -> inviscid central+JST fluxes [-> viscous -> turbulence] -> R.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adflow_tpu.core.mesh import MultiBlockMesh
+from adflow_tpu.core.refstate import ReferenceState
+from adflow_tpu.dist.halo import ConnOp, build_conn_ops, exchange_halos_list
+from adflow_tpu.geom.metrics import BlockMetrics, compute_metrics
+from adflow_tpu.physics import bc as bc_mod
+from adflow_tpu.physics.bc import BCOp, apply_bcs, build_bc_ops
+from adflow_tpu.physics.fluxes import inviscid_residual, spectral_radii
+from adflow_tpu.physics.thermo import pressure
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """Static (trace-time) problem definition for the residual pipeline."""
+
+    equation_type: str            # 'euler' | 'laminar ns' | 'rans'
+    vis2: float
+    vis4: float
+    diss_exponent: float
+    discretization: str = "central plus scalar dissipation"
+    limiter: str = "van albada"
+    entropy_fix: float = 0.05
+    turbulence_model: str = "sa"
+    turb_res_scale: float = 1.0
+
+    @property
+    def viscous(self) -> bool:
+        return self.equation_type in ("laminar ns", "rans")
+
+    @property
+    def rans(self) -> bool:
+        return self.equation_type == "rans"
+
+    @property
+    def n_turb(self) -> int:
+        if not self.rans:
+            return 0
+        return 1 if self.turbulence_model.startswith("sa") else 2
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockStatic:
+    """Per-block static metadata (shapes, BC slices)."""
+
+    dims: Tuple[int, int, int]
+    bc_ops: Tuple[BCOp, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshTopology:
+    """All static topology for the residual: per-block metadata + exchange."""
+
+    blocks: Tuple[BlockStatic, ...]
+    conn_ops: Tuple[ConnOp, ...]
+
+
+def build_topology(mesh: MultiBlockMesh) -> MeshTopology:
+    return MeshTopology(
+        blocks=tuple(
+            BlockStatic(dims=b.dims, bc_ops=tuple(build_bc_ops(b)))
+            for b in mesh.blocks),
+        conn_ops=tuple(build_conn_ops(mesh)),
+    )
+
+
+def fill_halos(w_list, metrics_list, topo: MeshTopology,
+               ref: ReferenceState, winf):
+    """BC -> exchange -> BC sequence filling every ghost cell (reference:
+    applyAllBC + whalo2, ordered so corners resolve; see dist/halo.py)."""
+    w_list = [apply_bcs(w, m, bs.bc_ops, ref, winf)
+              for w, m, bs in zip(w_list, metrics_list, topo.blocks)]
+    if topo.conn_ops:
+        w_list = exchange_halos_list(w_list, topo.conn_ops)
+        w_list = [apply_bcs(w, m, bs.bc_ops, ref, winf)
+                  for w, m, bs in zip(w_list, metrics_list, topo.blocks)]
+    return w_list
+
+
+def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
+                   ref: ReferenceState, extras: Optional[dict] = None):
+    """Residual for one block with already-filled halos.
+
+    Returns (ni, nj, nk, nw): net outflow flux per interior cell (the
+    semi-discrete system is V dw/dt = -R).
+    """
+    p = pressure(w)
+    r = inviscid_residual(w, p, metrics, cfg.vis2, cfg.vis4,
+                          cfg.diss_exponent)
+    if cfg.viscous:
+        from adflow_tpu.physics.viscous import viscous_residual
+        r = r + viscous_residual(w, p, metrics, cfg, ref)
+    if cfg.rans:
+        from adflow_tpu.physics.sa import sa_residual
+        d = extras["walldist"] if extras else None
+        rt = sa_residual(w, p, metrics, cfg, ref, d)
+        r = jnp.concatenate([r, rt], axis=-1)
+    return r
+
+
+def residual_list(w_list, metrics_list, topo: MeshTopology,
+                  cfg: ProblemConfig, ref: ReferenceState, winf,
+                  extras_list: Optional[Sequence[dict]] = None):
+    """Full multiblock residual: halo fill + per-block kernels."""
+    w_list = fill_halos(w_list, metrics_list, topo, ref, winf)
+    out = []
+    for i, (w, m) in enumerate(zip(w_list, metrics_list)):
+        ex = extras_list[i] if extras_list else None
+        out.append(block_residual(w, m, cfg, ref, ex))
+    return out
+
+
+def residual_from_x(w_list, x_list, topo: MeshTopology, cfg: ProblemConfig,
+                    ref: ReferenceState, winf,
+                    extras_list: Optional[Sequence[dict]] = None):
+    """Residual with metrics recomputed from node coordinates — the
+    geometry-differentiable entry (reference: adjointExtra.F90 chain)."""
+    metrics_list = [compute_metrics(x) for x in x_list]
+    return residual_list(w_list, metrics_list, topo, cfg, ref, winf,
+                         extras_list)
