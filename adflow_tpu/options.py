@@ -94,7 +94,7 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     # ANK (approximate Newton-Krylov, pseudo-transient)
     "useANKSolver": True,
     "ANKSwitchTol": 1e3,
-    "ANKSubspaceSize": -1,
+    "ANKSubspaceSize": -1,            # -1: auto (50)
     "ANKMaxIter": 40,
     "ANKLinearSolveTol": 0.05,
     "ANKLinResMax": 0.1,
@@ -102,9 +102,9 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "ANKPCUpdateTol": 0.5,
     "ANKCFL0": 5.0,
     "ANKCFLMin": 1.0,
-    "ANKCFLLimit": 1e5,
+    "ANKCFLLimit": 1e8,
     "ANKCFLFactor": 10.0,
-    "ANKCFLExponent": 0.5,
+    "ANKCFLExponent": 1.5,
     "ANKCFLCutback": 0.5,
     "ANKStepFactor": 1.0,
     "ANKStepMin": 0.01,
@@ -187,6 +187,8 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "blockPadding": "bucket",    # 'bucket' | 'max' — pad blocks to shape buckets
     "haloExchangeMode": "gather",  # 'gather' | 'ppermute'
     "deterministicReductions": True,
+    "linePCAxes": "auto",        # line-implicit PC sweep directions
+    "linePCKappa": 0.25,         # scalar-dissipation splitting factor
 }
 
 # Options that are accepted but currently ignored (stored, no effect yet) —

@@ -257,12 +257,17 @@ def _farfield_state(wi, nhat, winf, gamma):
     c_b = 0.25 * gm1 * (rplus - rminus)
     c_b = jnp.maximum(c_b, 1e-6)
 
-    outflow = un_b > 0.0
-    # entropy s = p / rho^gamma and tangential velocity from the upwind side
-    s_up = jnp.where(outflow, p_i / rho_i ** gamma, p_f / rho_f ** gamma)
+    # smooth inflow/outflow blend: a hard switch at un_b = 0 makes the BC
+    # Jacobian discontinuous exactly where the flow grazes the far field
+    # (O-mesh tangency points) and stalls Newton there; blend over a few
+    # percent of the local sound speed instead (the reference's hard branch
+    # at BCRoutines.F90:1282 relies on its inexact FD/PC Jacobians not
+    # seeing the kink).
+    sig = 0.5 * (1.0 + jnp.tanh(un_b / (0.05 * c_b)))
+    s_up = sig * (p_i / rho_i ** gamma) + (1.0 - sig) * (p_f / rho_f ** gamma)
     vt_i = v_i - un_i[..., None] * nhat
     vt_f = v_f - un_f[..., None] * nhat   # v_f (3,) broadcasts over the face
-    vt = jnp.where(outflow[..., None], vt_i, vt_f)
+    vt = sig[..., None] * vt_i + (1.0 - sig[..., None]) * vt_f
 
     rho_b = (c_b ** 2 / (gamma * s_up)) ** (1.0 / gm1)
     p_b = rho_b * c_b ** 2 / gamma
@@ -271,7 +276,8 @@ def _farfield_state(wi, nhat, winf, gamma):
     out = jnp.concatenate(
         [rho_b[..., None], rho_b[..., None] * v_b, rhoe[..., None]], axis=-1)
     if wi.shape[-1] > ITURB:
-        turb = jnp.where(outflow[..., None], wi[..., ITURB:],
-                         jnp.broadcast_to(winf[ITURB:], wi[..., ITURB:].shape))
+        turb = (sig[..., None] * wi[..., ITURB:]
+                + (1.0 - sig[..., None]) * jnp.broadcast_to(
+                    winf[ITURB:], wi[..., ITURB:].shape))
         out = jnp.concatenate([out, turb], axis=-1)
     return out

@@ -1,0 +1,84 @@
+"""Steady Euler solve regressions — the analogue of the reference's
+tests/reg_tests/test_solve.py (Euler scalar JST tutorial-wing class): solve
+to deep convergence, assert the converged residual and golden coefficients.
+
+Golden values are from this framework (self-consistent regression; the
+reference's meshes are not redistributable). Physical sanity anchors:
+thin-airfoil CL ~ 2*pi*alpha, Euler CD -> 0 with refinement.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adflow_tpu.api.solver import ADFLOW
+from adflow_tpu.core.refstate import AeroProblem
+from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+BASE_OPTS = {
+    "equationType": "euler",
+    "useANKSolver": True,
+    "useNKSolver": False,
+    "printIterations": False,
+    "printTiming": False,
+    "CFL": 1.5,
+    "nCycles": 400,
+    "L2Convergence": 1e-12,
+    "ANKSwitchTol": 1.5,
+}
+
+
+@pytest.fixture(scope="module")
+def solved():
+    mesh = naca0012_omesh(ni=96, nj=32)
+    solver = ADFLOW(options=BASE_OPTS, mesh=mesh)
+    ap = AeroProblem(name="n12", mach=0.5, alpha=2.0, areaRef=1.0,
+                     chordRef=1.0, evalFuncs=["cl", "cd", "cmz"])
+    solver(ap)
+    return solver, ap
+
+
+def test_deep_convergence(solved):
+    solver, ap = solved
+    assert solver.solve_info.converged
+    # 12+ orders of residual reduction (reference hits 1e-14 L2Convergence)
+    assert solver.solve_info.total_r_final < 1e-12 * solver.solve_info.total_r0
+
+
+def test_newton_iteration_count(solved):
+    """ANK with the line-implicit PC should converge in tens, not
+    hundreds, of nonlinear iterations."""
+    solver, _ = solved
+    assert solver.solve_info.iterations < 60
+
+
+def test_golden_coefficients(solved):
+    solver, ap = solved
+    funcs = {}
+    solver.evalFunctions(ap, funcs)
+    # regression values (96x32 O-mesh, M=0.5, alpha=2deg, JST)
+    np.testing.assert_allclose(funcs["n12_cl"], 0.261925343, rtol=1e-6)
+    np.testing.assert_allclose(funcs["n12_cd"], 0.007798819, rtol=1e-5)
+    np.testing.assert_allclose(funcs["n12_cmz"], 0.067769032, rtol=1e-5)
+
+
+def test_physical_sanity(solved):
+    solver, ap = solved
+    funcs = {}
+    solver.evalFunctions(ap, funcs)
+    # thin-airfoil theory: cl ~ 2 pi alpha = 0.219; JST on O-mesh gives a
+    # bit more; spurious Euler drag stays under 100 counts on this mesh
+    assert 0.15 < funcs["n12_cl"] < 0.35
+    assert abs(funcs["n12_cd"]) < 0.01
+
+
+def test_alpha_zero_symmetric():
+    """Symmetric airfoil at alpha=0: cl and cmz vanish to solver tolerance."""
+    mesh = naca0012_omesh(ni=64, nj=24)
+    opts = dict(BASE_OPTS, L2Convergence=1e-10)
+    solver = ADFLOW(options=opts, mesh=mesh)
+    ap = AeroProblem(name="sym", mach=0.5, alpha=0.0, evalFuncs=["cl", "cd"])
+    solver(ap)
+    funcs = {}
+    solver.evalFunctions(ap, funcs)
+    assert abs(funcs["sym_cl"]) < 1e-8
