@@ -26,12 +26,16 @@ class BlockMetrics(NamedTuple):
     sj: (ni, nj+1, nk, 3)
     sk: (ni, nj, nk+1, 3)
     vol: (ni+4, nj+4, nk+4) cell volumes, halo layers mirrored
+    xc_ext: (ni+2, nj+2, nk+2, 3) cell centers on the one-ring extended
+        grid; ghost centers linearly extrapolated (viscous face-gradient
+        correction distances)
     """
 
     si: jnp.ndarray
     sj: jnp.ndarray
     sk: jnp.ndarray
     vol: jnp.ndarray
+    xc_ext: jnp.ndarray
 
 
 def _quad_area(x00, x10, x11, x01):
@@ -88,6 +92,35 @@ def cell_centers(x: jnp.ndarray):
         + x[1:, 1:, :-1] + x[1:, :-1, 1:] + x[:-1, 1:, 1:] + x[1:, 1:, 1:])
 
 
+def _cell_centers_ext(x: jnp.ndarray) -> jnp.ndarray:
+    """Cell centers padded by one ghost ring whose positions are the
+    interior centers mirrored across the boundary face centers — the
+    geometrically-consistent ghost location for BC-mirrored states (works
+    for single-cell axes, unlike linear extrapolation)."""
+    xc = cell_centers(x)
+    xmi, xmj, xmk = face_centers(x)
+
+    def pad_axis(a, fc, ax):
+        first = jax.lax.slice_in_dim(a, 0, 1, axis=ax)
+        last = jax.lax.slice_in_dim(a, a.shape[ax] - 1, a.shape[ax], axis=ax)
+        f_lo = jax.lax.slice_in_dim(fc, 0, 1, axis=ax)
+        f_hi = jax.lax.slice_in_dim(fc, fc.shape[ax] - 1, fc.shape[ax],
+                                    axis=ax)
+        return jnp.concatenate(
+            [2.0 * f_lo - first, a, 2.0 * f_hi - last], axis=ax)
+
+    def edge_pad(fc, axes):
+        pads = [(0, 0)] * 4
+        for ax in axes:
+            pads[ax] = (1, 1)
+        return jnp.pad(fc, pads, mode="edge")
+
+    xc = pad_axis(xc, xmi, 0)
+    xc = pad_axis(xc, edge_pad(xmj, (0,)), 1)
+    xc = pad_axis(xc, edge_pad(xmk, (0, 1)), 2)
+    return xc
+
+
 def compute_metrics(x: jnp.ndarray) -> BlockMetrics:
     """All metrics for one block. Halo volumes are mirrored from the interior
     (reference mirrors halo volumes in metric.F90 so dissipation scaling sees
@@ -95,7 +128,8 @@ def compute_metrics(x: jnp.ndarray) -> BlockMetrics:
     si, sj, sk = face_areas(x)
     vol = cell_volumes(x)
     vol = jnp.pad(vol, 2, mode="symmetric")
-    return BlockMetrics(si=si, sj=sj, sk=sk, vol=vol)
+    return BlockMetrics(si=si, sj=sj, sk=sk, vol=vol,
+                        xc_ext=_cell_centers_ext(x))
 
 
 compute_metrics_jit = jax.jit(compute_metrics)

@@ -193,7 +193,10 @@ def flatplate_mesh(ni=48, nj=32, plate_start_frac=0.25, length=1.0,
                else BCType.NS_WALL_ADIABATIC)
     bcs = [
         BCSubface(Face.IMIN, BCType.FARFIELD, family="inflow"),
-        BCSubface(Face.IMAX, BCType.EXTRAPOLATE, family="outflow"),
+        # pressure-anchored outflow: plain extrapolation drifts/reflects at
+        # subsonic outflow and destabilizes the boundary layer downstream
+        BCSubface(Face.IMAX, BCType.SUBSONIC_OUTFLOW, family="outflow",
+                  data={"P": None}),
         BCSubface(Face.JMIN, BCType.SYMMETRY, family="sym_up",
                   rng=((0, n_up), (0, nk))),
         BCSubface(Face.JMIN, wall_bc, family="wall",

@@ -31,6 +31,12 @@ from adflow_tpu.physics.thermo import (
 
 H = 2  # halo depth
 
+# Width (fraction of local sound speed) of the smooth inflow/outflow blend in
+# the far-field BC. Too wide: the half-reflective 50/50 blend at grazing
+# boundaries supports weakly unstable traveling waves; too narrow: the
+# near-kink Jacobian stalls Newton at tangency points. ~1% is the sweet spot.
+FARFIELD_BLEND_WIDTH = 0.01
+
 
 @dataclasses.dataclass(frozen=True)
 class BCOp:
@@ -263,7 +269,7 @@ def _farfield_state(wi, nhat, winf, gamma):
     # percent of the local sound speed instead (the reference's hard branch
     # at BCRoutines.F90:1282 relies on its inexact FD/PC Jacobians not
     # seeing the kink).
-    sig = 0.5 * (1.0 + jnp.tanh(un_b / (0.05 * c_b)))
+    sig = 0.5 * (1.0 + jnp.tanh(un_b / (FARFIELD_BLEND_WIDTH * c_b)))
     s_up = sig * (p_i / rho_i ** gamma) + (1.0 - sig) * (p_f / rho_f ** gamma)
     vt_i = v_i - un_i[..., None] * nhat
     vt_f = v_f - un_f[..., None] * nhat   # v_f (3,) broadcasts over the face

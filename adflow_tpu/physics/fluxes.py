@@ -87,8 +87,15 @@ def scaled_diss_radii(radI, radJ, radK, exponent: float):
 
 
 def inviscid_residual(w, p, metrics, vis2: float, vis4: float,
-                      diss_exponent: float = 0.67):
+                      diss_exponent: float = 0.67, por=None):
     """Central + JST residual on the interior, positive = net outflow.
+
+    ``por``: optional per-axis face porosity masks (1 = normal flux, 0 =
+    solid-wall face). At zero-porosity faces the convective velocity and the
+    artificial dissipation are switched off so only the pressure acts —
+    the reference's boundFlux treatment (fluxes.F90:60-77, porosities from
+    preprocessingAPI.F90:524 setPorosities). Without it, mirror ghosts leak
+    momentum convection and JST dissipation through walls.
 
     Returns R with shape (ni, nj, nk, 5): sum over faces of
     (central flux - artificial dissipation flux) . S.
@@ -106,7 +113,8 @@ def inviscid_residual(w, p, metrics, vis2: float, vis4: float,
     R = None
     for axis, (s, srad) in enumerate(
             [(metrics.si, sradI), (metrics.sj, sradJ), (metrics.sk, sradK)]):
-        flux = _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4)
+        mask = None if por is None else por[axis]
+        flux = _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, mask)
         dR = _shift(flux, axis, 1, 0) - _shift(flux, axis, 0, -1)
         R = dR if R is None else R + dR
     return R
@@ -130,12 +138,12 @@ def _pressure_sensor(p):
     return nu
 
 
-def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4):
+def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, por=None):
     """Total face flux (central - dissipation) along one axis.
 
     Face f (0..n_ax) separates interior cells f-1, f; in padded coords the
     four-cell stencil is w[f .. f+3]. Output shape: faces x interior
-    tangential x 5.
+    tangential x 5. ``por``: face porosity (see inviscid_residual).
     """
     it = [slice(2, -2)] * 3
     it[axis] = slice(None)
@@ -147,8 +155,23 @@ def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4):
     pL = _shift(p, axis, 1, -2)[tuple(it)]
     pR = _shift(p, axis, 2, -1)[tuple(it)]
 
-    central = 0.5 * (_euler_flux(wL[..., :5], pL, s)
-                     + _euler_flux(wR[..., :5], pR, s))
+    if por is None:
+        central = 0.5 * (_euler_flux(wL[..., :5], pL, s)
+                         + _euler_flux(wR[..., :5], pR, s))
+    else:
+        # porosity-aware central flux: kill the convective velocity at
+        # solid faces, keep the (average) pressure (fluxes.F90 boundFlux)
+        pv = jnp.asarray(por, w.dtype)
+        qL = jnp.sum(wL[..., IMX:IMZ + 1] * s, axis=-1) / wL[..., 0] * pv
+        qR = jnp.sum(wR[..., IMX:IMZ + 1] * s, axis=-1) / wR[..., 0] * pv
+        pa = 0.5 * (pL + pR)
+        fmass = 0.5 * (wL[..., 0] * qL + wR[..., 0] * qR)
+        fmom = (0.5 * (wL[..., IMX:IMZ + 1] * qL[..., None]
+                       + wR[..., IMX:IMZ + 1] * qR[..., None])
+                + pa[..., None] * s)
+        fen = 0.5 * ((wL[..., IRHOE] + pL) * qL + (wR[..., IRHOE] + pR) * qR)
+        central = jnp.concatenate(
+            [fmass[..., None], fmom, fen[..., None]], axis=-1)
 
     # -- JST dissipation --------------------------------------------------
     # sensor and scaled radius live on the one-ring extended grid (n+2);
@@ -165,6 +188,10 @@ def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4):
 
     eps2 = vis2 * jnp.maximum(nuL, nuR)
     eps4 = jnp.maximum(0.0, vis4 - eps2)
+    if por is not None:
+        pv = jnp.asarray(por, w.dtype)
+        eps2 = eps2 * pv
+        eps4 = eps4 * pv
 
     dL = _shift(wd, axis, 1, -2)[tuple(it)]
     dR = _shift(wd, axis, 2, -1)[tuple(it)]

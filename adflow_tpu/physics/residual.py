@@ -62,10 +62,36 @@ class ProblemConfig:
 
 @dataclasses.dataclass(frozen=True)
 class BlockStatic:
-    """Per-block static metadata (shapes, BC slices)."""
+    """Per-block static metadata (shapes, BC slices, face porosities)."""
 
     dims: Tuple[int, int, int]
     bc_ops: Tuple[BCOp, ...]
+    por: Optional[tuple] = None   # (porI, porJ, porK) numpy face masks
+
+
+def _build_porosities(block) -> tuple:
+    """Face porosity masks: 1 everywhere except 0 at solid-wall faces
+    (reference: setPorosities, preprocessingAPI.F90:524 — walls get
+    boundFlux: no convection, no dissipation, pressure only)."""
+    import numpy as _np
+    from adflow_tpu.core.mesh import WALL_BCS
+
+    ni, nj, nk = block.dims
+    por = [_np.ones((ni + 1, nj, nk)), _np.ones((ni, nj + 1, nk)),
+           _np.ones((ni, nj, nk + 1))]
+    for sf in block.bcs:
+        if sf.bc not in WALL_BCS:
+            continue
+        ax = sf.face.axis
+        t1, t2 = [a for a in range(3) if a != ax]
+        dims = block.dims
+        rng = sf.rng or ((0, dims[t1]), (0, dims[t2]))
+        idx = [None, None, None]
+        idx[ax] = dims[ax] if sf.face.is_high else 0
+        idx[t1] = slice(rng[0][0], rng[0][1])
+        idx[t2] = slice(rng[1][0], rng[1][1])
+        por[ax][tuple(idx)] = 0.0
+    return tuple(por)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,7 +105,8 @@ class MeshTopology:
 def build_topology(mesh: MultiBlockMesh) -> MeshTopology:
     return MeshTopology(
         blocks=tuple(
-            BlockStatic(dims=b.dims, bc_ops=tuple(build_bc_ops(b)))
+            BlockStatic(dims=b.dims, bc_ops=tuple(build_bc_ops(b)),
+                        por=_build_porosities(b))
             for b in mesh.blocks),
         conn_ops=tuple(build_conn_ops(mesh)),
     )
@@ -88,18 +115,27 @@ def build_topology(mesh: MultiBlockMesh) -> MeshTopology:
 def fill_halos(w_list, metrics_list, topo: MeshTopology,
                ref: ReferenceState, winf):
     """BC -> exchange -> BC sequence filling every ghost cell (reference:
-    applyAllBC + whalo2, ordered so corners resolve; see dist/halo.py)."""
+    applyAllBC + whalo2, ordered so corners resolve; see dist/halo.py).
+
+    The second BC pass is REQUIRED even without connections: subfaces
+    extended into tangential halos read edge/corner ghosts that a later BC
+    in the sequence writes, so one pass leaves corners depending on whatever
+    the ghost cells held before (state-history garbage — non-deterministic
+    residuals and pathological Jacobians). Two passes make every ghost a
+    pure function of the interior.
+    """
     w_list = [apply_bcs(w, m, bs.bc_ops, ref, winf)
               for w, m, bs in zip(w_list, metrics_list, topo.blocks)]
     if topo.conn_ops:
         w_list = exchange_halos_list(w_list, topo.conn_ops)
-        w_list = [apply_bcs(w, m, bs.bc_ops, ref, winf)
-                  for w, m, bs in zip(w_list, metrics_list, topo.blocks)]
+    w_list = [apply_bcs(w, m, bs.bc_ops, ref, winf)
+              for w, m, bs in zip(w_list, metrics_list, topo.blocks)]
     return w_list
 
 
 def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
-                   ref: ReferenceState, extras: Optional[dict] = None):
+                   ref: ReferenceState, extras: Optional[dict] = None,
+                   por=None):
     """Residual for one block with already-filled halos.
 
     Returns (ni, nj, nk, nw): net outflow flux per interior cell (the
@@ -107,7 +143,7 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
     """
     p = pressure(w)
     r = inviscid_residual(w, p, metrics, cfg.vis2, cfg.vis4,
-                          cfg.diss_exponent)
+                          cfg.diss_exponent, por=por)
     if cfg.viscous:
         from adflow_tpu.physics.viscous import viscous_residual
         r = r + viscous_residual(w, p, metrics, cfg, ref)
@@ -127,7 +163,8 @@ def residual_list(w_list, metrics_list, topo: MeshTopology,
     out = []
     for i, (w, m) in enumerate(zip(w_list, metrics_list)):
         ex = extras_list[i] if extras_list else None
-        out.append(block_residual(w, m, cfg, ref, ex))
+        out.append(block_residual(w, m, cfg, ref, ex,
+                                  por=topo.blocks[i].por))
     return out
 
 

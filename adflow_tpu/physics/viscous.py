@@ -1,0 +1,179 @@
+"""Viscous (Navier-Stokes) fluxes.
+
+Reference analogue: ``viscousFlux`` (`/root/reference/src/solver/
+fluxes.F90:2534`) + ``allNodalGradients`` (blockette.F90:5205). The reference
+computes gradients at mesh NODES via the dual mesh then averages to faces;
+here gradients are computed at CELL centers by Green-Gauss and averaged to
+faces with a face-normal direction correction (deferred-correction form) —
+same order of accuracy, no odd-even decoupling, and the whole pipeline is
+three fused stencil sweeps instead of a node scatter (TPU-friendly).
+
+Halo-ring gradients use edge-replicated face metrics (exact interior metrics
+everywhere else); the normal-direction correction term dominates the wall
+fluxes so wall stresses stay consistent.
+
+Nondimensionalization (core/refstate.py): tau' = mu' grad' u',
+heat flux k grad T with k' = mu' / (Pr (gamma-1)), T' = gamma p'/rho'.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from adflow_tpu.core.refstate import GAMMA, PR_LAMINAR, PR_TURB
+from adflow_tpu.physics.thermo import (
+    IMX, IMZ, IRHO, IRHOE, laminar_viscosity, pressure, temperature)
+
+
+def _shift(a, axis, lo, hi):
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(lo, a.shape[axis] + hi if hi < 0 else None)
+    return a[tuple(idx)]
+
+
+def _extended_metrics(metrics):
+    """Face areas and volumes covering the one-ring extended cell grid.
+    Halo-ring faces use edge replication."""
+    pad = ((1, 1), (1, 1), (1, 1), (0, 0))
+    siE = jnp.pad(metrics.si, pad, mode="edge")
+    sjE = jnp.pad(metrics.sj, pad, mode="edge")
+    skE = jnp.pad(metrics.sk, pad, mode="edge")
+    volE = metrics.vol[1:-1, 1:-1, 1:-1]
+    return siE, sjE, skE, volE
+
+
+def green_gauss_gradients(phi, metrics):
+    """Cell-center gradients of scalar fields phi, computed exactly on the
+    INTERIOR (watertight metrics -> uniform fields give exactly zero), then
+    edge-replicated onto the one-ring extended grid. The boundary-face
+    normal-direction correction in _face_gradient supplies the ghost-state
+    information, so replicated tangential gradients cost one order only in
+    the boundary ring (the reference's nodal-gradient scheme has the same
+    boundary closure order, blockette.F90 allNodalGradients).
+
+    phi: halo-padded (ni+4, nj+4, nk+4, nf) ->  (ni+2, nj+2, nk+2, nf, 3).
+    """
+    it = (slice(2, -2),) * 3
+    vol = metrics.vol[it]
+    out = 0.0
+    for axis, s in enumerate((metrics.si, metrics.sj, metrics.sk)):
+        lo = [slice(2, -2)] * 3
+        hi = [slice(2, -2)] * 3
+        ce = [slice(2, -2)] * 3
+        lo[axis] = slice(1, -3)
+        hi[axis] = slice(3, -1)
+        phm = 0.5 * (phi[tuple(lo)] + phi[it])   # minus-face value
+        php = 0.5 * (phi[tuple(hi)] + phi[it])   # plus-face value
+        fm = [slice(None)] * 3
+        fp = [slice(None)] * 3
+        fm[axis] = slice(0, -1)
+        fp[axis] = slice(1, None)
+        s_m = s[tuple(fm)]
+        s_p = s[tuple(fp)]
+        out = out + (php[..., None] * s_p[..., None, :]
+                     - phm[..., None] * s_m[..., None, :])
+    g = out / vol[..., None, None]
+    return jnp.pad(g, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)), mode="edge")
+
+
+def _face_gradient(g, phi, xc, axis, it):
+    """Face gradients along ``axis`` with normal correction.
+
+    g: cell gradients on extended grid (.., nf, 3); phi: halo-padded fields;
+    xc: cell centers on extended grid (.., 3). Output at interior faces:
+    (n_ax+1, tang, nf, 3)."""
+    et = [slice(1, -1)] * 3
+    et[axis] = slice(None)
+    gA = g[tuple(et)]
+    xA = xc[tuple(et)]
+    gL = _shift(gA, axis, 0, -1)
+    gR = _shift(gA, axis, 1, 0)
+    xL = _shift(xA, axis, 0, -1)
+    xR = _shift(xA, axis, 1, 0)
+    gbar = 0.5 * (gL + gR)
+
+    phA = phi[tuple(it)]
+    phL = _shift(phA, axis, 1, -2)
+    phR = _shift(phA, axis, 2, -1)
+
+    delta = xR - xL
+    dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-300)
+    ehat = delta / jnp.sqrt(dist2)[..., None]
+    dphi_de = (phR - phL) / jnp.sqrt(dist2)[..., None]
+    g_e = jnp.sum(gbar * ehat[..., None, :], axis=-1)
+    corr = (dphi_de - g_e)[..., None] * ehat[..., None, :]
+    return gbar + corr
+
+
+def viscous_residual(w, p, metrics, cfg, ref, xc_ext=None):
+    """Viscous flux residual contribution on the interior, sign convention
+    matching inviscid_residual (positive = net outflow): R_visc = -sum_f
+    Fv . S_out.
+
+    w halo-padded incl. turbulence variables; returns (ni, nj, nk, 5).
+    """
+    # primitive fields on the full padded array: u, v, w, T
+    rho = w[..., IRHO]
+    vel = w[..., IMX:IMZ + 1] / rho[..., None]
+    t = GAMMA * p / rho
+    prim = jnp.concatenate([vel, t[..., None]], axis=-1)  # nf = 4
+
+    g = green_gauss_gradients(prim, metrics)              # (n+2.., 4, 3)
+
+    # viscosity at cells (extended grid)
+    tE = t[1:-1, 1:-1, 1:-1]
+    mu = laminar_viscosity(tE, ref.mu_inf, ref.t_inf_dim)
+    mu_eff = mu
+    k_eff = mu / (PR_LAMINAR * (GAMMA - 1.0))
+    if cfg.rans:
+        from adflow_tpu.physics.sa import eddy_viscosity
+        wE = w[1:-1, 1:-1, 1:-1]
+        mut = eddy_viscosity(wE, mu)
+        mu_eff = mu_eff + mut
+        k_eff = k_eff + mut / (PR_TURB * (GAMMA - 1.0))
+
+    if xc_ext is None:
+        xc_ext = metrics.xc_ext
+
+    velE = vel
+    R = 0.0
+    for axis in range(3):
+        it = [slice(2, -2)] * 3
+        it[axis] = slice(None)
+        gf = _face_gradient(g, prim, xc_ext, axis, it)    # (faces.., 4, 3)
+        s = (metrics.si, metrics.sj, metrics.sk)[axis]
+
+        mu_f = _face_avg(mu_eff, axis)
+        k_f = _face_avg(k_eff, axis)
+
+        gu = gf[..., 0:3, :]                              # (faces.., 3, 3)
+        div = gu[..., 0, 0] + gu[..., 1, 1] + gu[..., 2, 2]
+        tau = mu_f[..., None, None] * (
+            gu + jnp.swapaxes(gu, -1, -2))
+        tau = tau - (2.0 / 3.0) * (mu_f * div)[..., None, None] \
+            * jnp.eye(3, dtype=w.dtype)
+
+        fmom = jnp.einsum("...ab,...b->...a", tau, s)
+
+        vL = _shift(velE[tuple(it)], axis, 1, -2)
+        vR = _shift(velE[tuple(it)], axis, 2, -1)
+        v_f = 0.5 * (vL + vR)
+        gT = gf[..., 3, :]
+        fen = (jnp.sum(v_f * fmom, axis=-1)
+               + k_f * jnp.sum(gT * s, axis=-1))
+
+        flux = jnp.concatenate(
+            [jnp.zeros_like(fen)[..., None], fmom, fen[..., None]], axis=-1)
+        dR = _shift(flux, axis, 1, 0) - _shift(flux, axis, 0, -1)
+        R = R - dR
+    return R
+
+
+def _face_avg(c, axis):
+    """Average a one-ring-extended cell field to interior faces along axis."""
+    et = [slice(1, -1)] * 3
+    et[axis] = slice(None)
+    cA = c[tuple(et)]
+    return 0.5 * (_shift(cA, axis, 0, -1) + _shift(cA, axis, 1, 0))

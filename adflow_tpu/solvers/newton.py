@@ -92,7 +92,12 @@ def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
                      ) -> NewtonFns:
     packer = Packer([w[2:-2, 2:-2, 2:-2].shape[:3] for w in template_w_list],
                     template_w_list[0].shape[-1])
-    template = [jnp.zeros_like(w) for w in template_w_list]
+    # free-stream-filled templates: corner halo cells that no BC subface or
+    # connection ever writes must still hold physical states (rho=0 there
+    # would NaN pressure/viscosity even though fluxes never read them,
+    # poisoning jnp reductions under jvp)
+    template = [jnp.broadcast_to(winf, w.shape).astype(w.dtype)
+                for w in template_w_list]
 
     def res_flat(wvec):
         w_list = packer.unpack_into(wvec, template)
@@ -202,11 +207,28 @@ def make_ank_step(fns: NewtonFns, opts):
 
         precond = fns.make_precond(wvec, cfl, axes=pc_axes, kappa=pc_kappa)
         sol = gmres(matvec, -r, m=m, restarts=2, tol=lintol, precond=precond)
-        alpha = physicality_alpha(wvec, sol.x, fns.packer, phys_tol,
-                                  phys_tol_turb) * step_factor
+        alpha0 = physicality_alpha(wvec, sol.x, fns.packer, phys_tol,
+                                   phys_tol_turb) * step_factor
+
+        # backtracking on the UNSTEADY residual ||D a dw + R(w + a dw)|| —
+        # the correct merit for pseudo-transient marching: the steady
+        # residual may legitimately grow through a transient (nonnormal
+        # shear-flow dynamics), but the backward-Euler residual must shrink
+        # (reference: computeUnsteadyResANK, NKSolvers.F90:2614)
+        def unsteady_merit(a):
+            return jnp.linalg.norm(diag * (a * sol.x)
+                                   + fns.res_flat(wvec + a * sol.x))
+
+        alphas = jnp.stack([alpha0, 0.5 * alpha0, 0.25 * alpha0])
+        merits = jax.vmap(unsteady_merit)(alphas)
+        best = jnp.argmin(merits)
+        alpha = alphas[best]
+        mnew = merits[best]
         wnew = wvec + alpha * sol.x
         rnew = jnp.linalg.norm(fns.res_flat(wnew))
-        return wnew, rnorm, rnew, alpha, sol.iters, sol.res_norm / jnp.maximum(sol.b_norm, 1e-300)
+        return (wnew, rnorm, rnew, alpha, sol.iters,
+                sol.res_norm / jnp.maximum(sol.b_norm, 1e-300),
+                mnew / jnp.maximum(rnorm, 1e-300))
 
     return ank_step
 
@@ -322,36 +344,55 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         cfl_factor = float(opts["ANKCFLFactor"])
         cfl_exp = float(opts["ANKCFLExponent"])
         cutback = float(opts["ANKCFLCutback"])
+        lin_res_max = float(opts["ANKLinResMax"])
+        lintol = float(opts["ANKLinearSolveTol"])
+        unsteady_ls_tol = float(opts["ANKUnsteadyLSTol"])
         r_ank0 = rnorm
+        n_reject = 0
+        # best-state checkpoint: pseudo-time transients may raise the steady
+        # residual legitimately, but a blow-up restores here
+        best_w, best_r = wvec, rnorm
         while it < n_cycles and rnorm > target and not failed:
             if use_nk and rnorm <= nk_switch:
                 break
-            wnew, rn, rnew, alpha, kiters, linres = ank_step(
+            wnew, rn, rnew, alpha, kiters, linres, umerit = ank_step(
                 wvec, jnp.asarray(cfl, dtype))
             rnew_f = float(rnew)
-            if not np.isfinite(rnew_f):
+            linres_f = float(linres)
+            it += 1
+            # accept on the unsteady-residual merit (time marching), not on
+            # steady-residual descent (reference: ANK always steps once the
+            # unsteady LS passes)
+            bad = (not np.isfinite(rnew_f)
+                   or float(umerit) > unsteady_ls_tol
+                   or rnew_f > 100.0 * best_r)
+            if bad:
                 cfl = max(cfl * cutback, cfl_min)
-                if cfl <= cfl_min * 1.0001:
+                n_reject += 1
+                if rnew_f > 1e3 * best_r or not np.isfinite(rnew_f):
+                    wvec = best_w          # restore checkpoint
+                if n_reject > 25:
                     failed = True
-                it += 1
                 continue
-            if rnew_f > 2.0 * float(rn):
-                # reject + cut back (reference: ANK backtracking/cutback)
-                cfl = max(cfl * cutback, cfl_min)
-                it += 1
-                continue
+            n_reject = 0
             wvec = wnew
             rnorm = rnew_f
-            it += 1
+            if rnorm < best_r:
+                best_w, best_r = wvec, rnorm
             hist.append(np.array([[rnorm, 0.0]]))
             if monitor:
                 monitor(it, rnorm, 0.0)
-            # SER ramp with growth cap
-            cfl = min(
-                float(opts["ANKCFL0"]) * (r_ank0 / max(rnorm, 1e-300))
-                ** cfl_exp,
-                cfl * cfl_factor, cfl_limit)
-            cfl = max(cfl, cfl_min)
+            # CFL controller (reference: ANKLinResMax gating + SER ramp):
+            # grow only when the linear solve met its tolerance, back off
+            # when it degraded past ANKLinResMax
+            if linres_f > lin_res_max:
+                cfl = max(cfl * cutback, cfl_min)
+            elif linres_f <= 1.5 * lintol:
+                cfl = min(
+                    float(opts["ANKCFL0"]) * (r_ank0 / max(rnorm, 1e-300))
+                    ** cfl_exp,
+                    cfl * cfl_factor, cfl_limit)
+                cfl = max(cfl, cfl_min)
 
     # ---- NK phase ----
     if use_nk and not failed and rnorm > target:

@@ -56,7 +56,8 @@ def rk_iteration(w_list, metrics_list, topo: MeshTopology, cfg: ProblemConfig,
     wk_list = w0_list
     for alpha in coeffs:
         r_list = [block_residual(w, m, cfg, ref,
-                                 extras_list[i] if extras_list else None)
+                                 extras_list[i] if extras_list else None,
+                                 por=topo.blocks[i].por)
                   for i, (w, m) in enumerate(zip(wk_list, metrics_list))]
         if r0_list is None:
             r0_list = r_list

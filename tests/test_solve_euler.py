@@ -56,10 +56,11 @@ def test_golden_coefficients(solved):
     solver, ap = solved
     funcs = {}
     solver.evalFunctions(ap, funcs)
-    # regression values (96x32 O-mesh, M=0.5, alpha=2deg, JST)
-    np.testing.assert_allclose(funcs["n12_cl"], 0.261925343, rtol=1e-6)
-    np.testing.assert_allclose(funcs["n12_cd"], 0.007798819, rtol=1e-5)
-    np.testing.assert_allclose(funcs["n12_cmz"], 0.067769032, rtol=1e-5)
+    # regression values (96x32 O-mesh, M=0.5, alpha=2deg, JST, wall
+    # porosities active)
+    np.testing.assert_allclose(funcs["n12_cl"], 0.261852207, rtol=1e-6)
+    np.testing.assert_allclose(funcs["n12_cd"], 0.007757516, rtol=1e-5)
+    np.testing.assert_allclose(funcs["n12_cmz"], 0.067756847, rtol=1e-5)
 
 
 def test_physical_sanity(solved):
