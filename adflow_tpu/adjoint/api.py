@@ -1,0 +1,207 @@
+"""Discrete adjoint via jax.vjp through the one true residual.
+
+Reference analogue: the ENTIRE `/root/reference/src/adjoint/` tree
+(121,290 LoC of Tapenade-generated forward/reverse kernels + the
+hand-written master spine, masterRoutines.F90:3,260,614,1026, and the PETSc
+adjoint solve, adjointAPI.F90:661 solveAdjoint). Here:
+- forward products  = jax.jvp(res)        (was outputForward/*_d.f90)
+- reverse products  = jax.vjp(res)        (was outputReverse/*_b.f90)
+- state-only fast reverse = vjp w.r.t. w  (was outputReverseFast)
+- adjoint solve = matrix-free GMRES on dRdw^T psi = dI/dw with the
+  TRANSPOSED block line-implicit preconditioner (was PETSc GMRES + ASM/ILU).
+
+Design-variable chain: the residual/functions are traced as
+R(w, x, params) and I(w, x, params) with params = {alpha, beta, mach}
+(degrees) and x = all block node coordinates, so totals w.r.t. flow
+conditions AND shape come from the same two vjp calls:
+    dI/d* = dI/d*|direct - psi^T dR/d*.
+(The reference's extra-variable seeds, adjointAPI computeMatrixFreeProductBwd
++ DV index map pyADflow.py:6444.)
+
+Wall distance is held FROZEN w.r.t. x in the adjoint (the reference offers
+the same approximation via useApproxWallDistance; exact differentiation of
+the distance search is a later refinement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adflow_tpu.core.refstate import GAMMA, ReferenceState
+from adflow_tpu.geom.metrics import compute_metrics
+from adflow_tpu.physics.residual import fill_halos, residual_list
+from adflow_tpu.physics.surface import (
+    build_wall_patches, cost_functions, integrate_forces)
+from adflow_tpu.solvers.krylov import gmres
+
+
+def traced_reference_state(base: ReferenceState, params) -> ReferenceState:
+    """Rebuild the reference state with traced (jnp) flow-condition fields
+    so derivatives w.r.t. alpha/beta/mach flow through BCs, viscosity and
+    the force nondimensionalization."""
+    alpha = params["alpha"] * (jnp.pi / 180.0)
+    beta = params["beta"] * (jnp.pi / 180.0)
+    mach = params["mach"]
+    ca, sa = jnp.cos(alpha), jnp.sin(alpha)
+    cb, sb = jnp.cos(beta), jnp.sin(beta)
+    if base.lift_index == 2:
+        vel_dir = jnp.stack([ca * cb, sa * cb, -sb])
+        lift_dir = jnp.stack([-sa, ca, jnp.zeros_like(sa)])
+    else:
+        vel_dir = jnp.stack([ca * cb, -sb, sa * cb])
+        lift_dir = jnp.stack([-sa, jnp.zeros_like(sa), ca])
+    drag_dir = vel_dir
+    # mu_inf' = mach * L_re / Re at fixed Reynolds number
+    re_over_l = (base.mu_inf / base.mach if base.mach > 0 and base.mu_inf > 0
+                 else 0.0)
+    mu_inf = mach * re_over_l
+    return dataclasses.replace(
+        base, u_inf=mach * vel_dir, mu_inf=mu_inf,
+        nu_tilde_inf=3.0 * mu_inf, vel_dir=vel_dir, drag_dir=drag_dir,
+        lift_dir=lift_dir, q_inf=0.5 * mach ** 2)
+
+
+def traced_winf(ref: ReferenceState):
+    e_int = ref.p_inf / (GAMMA - 1.0)
+    vel = ref.u_inf
+    rho_e = e_int + 0.5 * jnp.sum(vel * vel)
+    parts = [jnp.asarray([1.0]), vel, rho_e[None]]
+    if ref.n_turb >= 1:
+        parts.append(jnp.asarray(ref.nu_tilde_inf)[None])
+    if ref.n_turb == 2:
+        parts.append(jnp.asarray([1.0]))
+    return jnp.concatenate(parts)
+
+
+class AdjointFns(NamedTuple):
+    res: Callable        # (wvec, xvec, params) -> rvec
+    funcs: Callable      # (wvec, xvec, params) -> {name: scalar}
+    pack_x: Callable
+    unpack_x: Callable
+
+
+def build_adjoint_fns(solver) -> AdjointFns:
+    """Bind the traced residual/function pipeline to a solver instance."""
+    from adflow_tpu.solvers.newton import Packer
+
+    packer = solver._newton_packer()
+    topo = solver.topo
+    cfg = solver.cfg
+    base_ref = solver.ref
+    extras_list = solver.extras_list   # frozen wall distance
+    x_shapes = [tuple(x.shape) for x in solver.x_list]
+    x_sizes = [int(np.prod(s)) for s in x_shapes]
+    x_offsets = np.concatenate([[0], np.cumsum(x_sizes)])
+    wall_patches = solver.wall_patches
+    dtype = solver.dtype
+
+    def pack_x(x_list):
+        return jnp.concatenate([x.reshape(-1) for x in x_list])
+
+    def unpack_x(xvec):
+        return [xvec[x_offsets[i]:x_offsets[i + 1]].reshape(x_shapes[i])
+                for i in range(len(x_shapes))]
+
+    def _prep(wvec, xvec, params):
+        ref = traced_reference_state(base_ref, params)
+        winf = traced_winf(ref).astype(dtype)
+        x_list = unpack_x(xvec)
+        metrics_list = [compute_metrics(x) for x in x_list]
+        w_list = []
+        template_shapes = [tuple(d + 4 for d in bs.dims) + (packer.nw,)
+                           for bs in topo.blocks]
+        for i, shp in enumerate(template_shapes):
+            w = jnp.broadcast_to(winf, shp).astype(dtype)
+            interior = wvec[packer.offsets[i]:packer.offsets[i + 1]].reshape(
+                topo.blocks[i].dims + (packer.nw,))
+            w_list.append(w.at[2:-2, 2:-2, 2:-2].set(interior))
+        return ref, winf, x_list, metrics_list, w_list
+
+    def res(wvec, xvec, params):
+        ref, winf, x_list, metrics_list, w_list = _prep(wvec, xvec, params)
+        r_list = residual_list(w_list, metrics_list, topo, cfg, ref, winf,
+                               extras_list)
+        return packer.pack(r_list)
+
+    def funcs(wvec, xvec, params):
+        ref, winf, x_list, metrics_list, w_list = _prep(wvec, xvec, params)
+        w_list = fill_halos(w_list, metrics_list, topo, ref, winf)
+        f = integrate_forces(w_list, x_list, metrics_list, wall_patches,
+                             ref, cfg)
+        return cost_functions(f, ref)
+
+    return AdjointFns(res=res, funcs=funcs, pack_x=pack_x,
+                      unpack_x=unpack_x)
+
+
+# ---------------------------------------------------------------------------
+# adjoint linear solve
+# ---------------------------------------------------------------------------
+
+def solve_adjoint_system(fns: AdjointFns, solver, wvec, xvec, params,
+                         rhs, psi0=None, tol=1e-8, abs_tol=None,
+                         subspace=100, restarts=8):
+    """Solve (dR/dw)^T psi = rhs with matrix-free GMRES (reference:
+    adjointAPI.F90:661 solveAdjoint + setupPETScKsp:865)."""
+    _, vjp_w = jax.vjp(lambda w: fns.res(w, xvec, params), wvec)
+
+    def matvec(v):
+        return vjp_w(v)[0]
+
+    nfns = solver._newton_fns()
+    precond = _transposed_line_pc(nfns, wvec)
+    sol = gmres(matvec, rhs, x0=psi0, m=subspace, restarts=restarts,
+                tol=tol, atol=abs_tol or 0.0, precond=precond)
+    return sol
+
+
+def _transposed_line_pc(nfns, wvec):
+    """M^-T for the block line-implicit PC: transpose each block factor and
+    reverse the sweep order (solvers/linpc.py)."""
+    from adflow_tpu.solvers.linpc import LinePCData, block_tridiag_solve
+    from adflow_tpu.solvers.dadi import tridiag_solve
+
+    # build the same PC data as NK uses (large pseudo-CFL regularization);
+    # built eagerly — building lazily inside the traced GMRES loop leaks
+    # tracers out of lax.while_loop
+    data_list = nfns.collect_pc_data(wvec, jnp.asarray(1e6, wvec.dtype))
+
+    def precond(v):
+        vb = nfns.packer.unpack(v)
+        out = []
+        for data, vv in zip(data_list, vb):
+            z = vv
+            for i in reversed(range(len(data.axes))):
+                ax = data.axes[i]
+                L, D, U = data.mean[i]
+                # transpose of tridiag(L, D, U): blocks transposed, L/U
+                # swapped with a one-cell shift along the line
+                LT = jnp.swapaxes(U, -1, -2)
+                LT = jnp.roll(LT, 1, axis=0).at[0].set(jnp.zeros_like(LT[0]))
+                UT = jnp.swapaxes(L, -1, -2)
+                UT = jnp.roll(UT, -1, axis=0).at[-1].set(
+                    jnp.zeros_like(UT[0]))
+                DT = jnp.swapaxes(D, -1, -2)
+                zb = jnp.moveaxis(z, ax, 0)
+                zm = block_tridiag_solve(LT, DT, UT, zb[..., :5])
+                if z.shape[-1] > 5 and data.turb[i] is not None:
+                    lt, dt_, ut = data.turb[i]
+                    ltT = jnp.roll(ut, 1, axis=0).at[0].set(0.0)
+                    utT = jnp.roll(lt, -1, axis=0).at[-1].set(0.0)
+                    zt = tridiag_solve(ltT, dt_, utT, zb[..., 5:])
+                    zl = jnp.concatenate([zm, zt], axis=-1)
+                else:
+                    zl = zm
+                z = jnp.moveaxis(zl, 0, ax)
+                if i > 0:
+                    z = z * data.dscalar[..., None]
+            out.append(z)
+        return nfns.packer.pack(out)
+
+    return precond

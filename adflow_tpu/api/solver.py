@@ -230,6 +230,145 @@ class ADFLOW:
     def getOption(self, name: str):
         return self.options[name]
 
+    # ------------------------------------------------------------------
+    # adjoint / derivative machinery (reference: pyADflow.solveAdjoint:4052,
+    # evalFunctionsSens:1673, computeJacobianVectorProductFwd:4557/Bwd:4814)
+    # ------------------------------------------------------------------
+    def _newton_fns(self):
+        from adflow_tpu.solvers import newton
+        if getattr(self, "_nfns", None) is None:
+            self._nfns = newton.build_newton_fns(
+                self.w_list, self.metrics_list, self.topo, self.cfg,
+                self.ref, self.winf, self.extras_list)
+        return self._nfns
+
+    def _newton_packer(self):
+        return self._newton_fns().packer
+
+    def _adjoint_fns(self):
+        from adflow_tpu.adjoint.api import build_adjoint_fns
+        if getattr(self, "_afns", None) is None:
+            self._afns = build_adjoint_fns(self)
+        return self._afns
+
+    def _ap_params(self, ap: AeroProblem):
+        return {"alpha": jnp.asarray(ap.alpha, self.dtype),
+                "beta": jnp.asarray(ap.beta, self.dtype),
+                "mach": jnp.asarray(ap.mach, self.dtype)}
+
+    def _wx_vecs(self):
+        fns = self._adjoint_fns()
+        packer = self._newton_packer()
+        wvec = packer.pack_w(self.w_list)
+        xvec = fns.pack_x(self.x_list)
+        return wvec, xvec
+
+    def solveAdjoint(self, ap: AeroProblem, objective: str):
+        """Solve dRdw^T psi = dI/dw for one cost function; psi cached per
+        (ap, objective) and warm-started (reference restartAdjoint)."""
+        from adflow_tpu.adjoint.api import solve_adjoint_system
+        self.setAeroProblem(ap)
+        fns = self._adjoint_fns()
+        wvec, xvec = self._wx_vecs()
+        params = self._ap_params(ap)
+        key = objective.lower()
+
+        dIdw = jax.grad(
+            lambda w: fns.funcs(w, xvec, params)[key])(wvec)
+        if not hasattr(self, "_psi_cache"):
+            self._psi_cache = {}
+        psi0 = self._psi_cache.get((ap.name, key))
+        sol = solve_adjoint_system(
+            fns, self, wvec, xvec, params, dIdw, psi0=psi0,
+            tol=float(self.options["adjointL2Convergence"]),
+            subspace=int(self.options["adjointSubspaceSize"]),
+            restarts=max(1, int(self.options["adjointMaxIter"])
+                         // max(int(self.options["adjointSubspaceSize"]), 1)))
+        self._psi_cache[(ap.name, key)] = sol.x
+        self.adjointFailed = not bool(sol.converged)
+        return sol.x
+
+    def evalFunctionsSens(self, ap: AeroProblem, funcsSens: dict,
+                          evalFuncs: Optional[Sequence[str]] = None):
+        """Total derivatives d(func)/d{alpha, beta, mach, xv} via one adjoint
+        solve per function: dI/d* = dI/d*|direct - psi^T dR/d*."""
+        self.setAeroProblem(ap)
+        if evalFuncs is None:
+            evalFuncs = ap.evalFuncs
+        fns = self._adjoint_fns()
+        wvec, xvec = self._wx_vecs()
+        params = self._ap_params(ap)
+        for name in evalFuncs:
+            key = name.lower()
+            psi = self.solveAdjoint(ap, key)
+
+            def scalar_fn(x, p, key=key):
+                return fns.funcs(wvec, x, p)[key]
+
+            gI_x, gI_p = jax.grad(scalar_fn, argnums=(0, 1))(xvec, params)
+            _, vjp_xp = jax.vjp(
+                lambda x, p: fns.res(wvec, x, p), xvec, params)
+            gR_x, gR_p = vjp_xp(psi)
+            sens = {
+                "alpha": float(gI_p["alpha"] - gR_p["alpha"]),
+                "beta": float(gI_p["beta"] - gR_p["beta"]),
+                "mach": float(gI_p["mach"] - gR_p["mach"]),
+                "xv": np.asarray(gI_x - gR_x),
+            }
+            funcsSens[f"{ap.name}_{name}"] = sens
+        return funcsSens
+
+    def computeJacobianVectorProductFwd(self, wDot=None, xVDot=None,
+                                        residualDeriv=False, funcDeriv=False,
+                                        **kwargs):
+        """Forward (JVP) products (reference: adjointAPI.F90:11 via
+        master_d; modes FD/CS unnecessary — jax.jvp is exact)."""
+        fns = self._adjoint_fns()
+        wvec, xvec = self._wx_vecs()
+        params = self._ap_params(self.curAP)
+        wd = (jnp.zeros_like(wvec) if wDot is None
+              else jnp.asarray(wDot, self.dtype))
+        xd = (jnp.zeros_like(xvec) if xVDot is None
+              else jnp.asarray(xVDot, self.dtype).reshape(-1))
+        out = []
+        if residualDeriv:
+            _, rdot = jax.jvp(lambda w, x: fns.res(w, x, params),
+                              (wvec, xvec), (wd, xd))
+            out.append(np.asarray(rdot))
+        if funcDeriv:
+            _, fdot = jax.jvp(lambda w, x: fns.funcs(w, x, params),
+                              (wvec, xvec), (wd, xd))
+            out.append({k: float(v) for k, v in fdot.items()})
+        return out[0] if len(out) == 1 else tuple(out)
+
+    def computeJacobianVectorProductBwd(self, resBar=None, funcsBar=None,
+                                        wDeriv=False, xVDeriv=False,
+                                        **kwargs):
+        """Reverse (VJP) products (reference: adjointAPI.F90:97 via
+        master_b)."""
+        fns = self._adjoint_fns()
+        wvec, xvec = self._wx_vecs()
+        params = self._ap_params(self.curAP)
+        gw = jnp.zeros_like(wvec)
+        gx = jnp.zeros_like(xvec)
+        if resBar is not None:
+            _, vjp = jax.vjp(lambda w, x: fns.res(w, x, params), wvec, xvec)
+            dw, dx = vjp(jnp.asarray(resBar, self.dtype))
+            gw, gx = gw + dw, gx + dx
+        if funcsBar is not None:
+            def weighted(w, x):
+                f = fns.funcs(w, x, params)
+                return sum(float(v) * f[k.lower()]
+                           for k, v in funcsBar.items())
+            dw, dx = jax.grad(weighted, argnums=(0, 1))(wvec, xvec)
+            gw, gx = gw + dw, gx + dx
+        out = []
+        if wDeriv:
+            out.append(np.asarray(gw))
+        if xVDeriv:
+            out.append(np.asarray(gx))
+        return out[0] if len(out) == 1 else tuple(out)
+
 
 # Alias matching this framework's own naming
 Solver = ADFLOW

@@ -1,0 +1,142 @@
+"""Spalart-Allmaras one-equation turbulence model.
+
+Reference analogue: ``sa_block`` = saSource + saViscous + advection +
+saResScale (`/root/reference/src/turbulence/sa.F90:16,89,346,678`), solved
+segregated there (DD-ADI, turbAPI.F90); here the nuTilde equation is carried
+as w[..., 5] and solved FULLY COUPLED in the Newton vector (the reference's
+ANK coupled mode) — one residual, one Jacobian, no separate turbulence
+machinery on the hot path.
+
+Standard SA-noft2/ft2 closure (Spalart & Allmaras 1994):
+  d(nuT)/dt + u.grad(nuT) = cb1 (1-ft2) S~ nuT
+      - (cw1 fw - cb1/k^2 ft2)(nuT/d)^2
+      + 1/sigma [ div((nu+nuT) grad nuT) + cb2 (grad nuT)^2 ]
+Discretization: first-order upwind advection (the reference's default
+turbulence order), Green-Gauss + normal-corrected face gradients for
+diffusion (shared scheme with physics/viscous.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from adflow_tpu.core.refstate import GAMMA
+from adflow_tpu.physics.thermo import (
+    IMX, IMZ, IRHO, ITURB, laminar_viscosity)
+from adflow_tpu.physics.viscous import (
+    _face_avg, _face_gradient, _shift, green_gauss_gradients)
+
+# closure constants (sa.F90 / paramTurb.F90)
+CB1 = 0.1355
+CB2 = 0.622
+SIGMA = 2.0 / 3.0
+KARMAN = 0.41
+CW1 = CB1 / KARMAN ** 2 + (1.0 + CB2) / SIGMA
+CW2 = 0.3
+CW3 = 2.0
+CV1 = 7.1
+CT3 = 1.2
+CT4 = 0.5
+
+
+def eddy_viscosity(w, mu):
+    """mu_t = rho nuTilde fv1 (zero for negative nuTilde). ``w`` cell states
+    with the turbulence slot, ``mu`` laminar viscosity, same shape."""
+    rho = w[..., IRHO]
+    nut = jnp.maximum(w[..., ITURB], 0.0)
+    chi = rho * nut / mu
+    fv1 = chi ** 3 / (chi ** 3 + CV1 ** 3)
+    return rho * nut * fv1
+
+
+def sa_residual(w, p, metrics, cfg, ref, d_ext):
+    """SA residual on the interior: (ni, nj, nk, 1), sign such that
+    V d(nuT)/dt = -R. Halos of w filled; d_ext: wall distance on the
+    one-ring extended grid (geom/walldist.py)."""
+    dtype = w.dtype
+    rho = w[..., IRHO]
+    vel = w[..., IMX:IMZ + 1] / rho[..., None]
+    nut = w[..., ITURB]
+    t = GAMMA * p / rho
+    mu = laminar_viscosity(t, ref.mu_inf, ref.t_inf_dim)
+    nu_lam = mu / rho
+
+    it = (slice(2, -2),) * 3
+    nut_c = nut[it]
+    rho_c = rho[it]
+    nu_c = nu_lam[it]
+    vol = metrics.vol[it]
+    d_c = jnp.maximum(d_ext[1:-1, 1:-1, 1:-1], 1e-12)
+
+    # ---- gradients (velocity for vorticity, nuTilde for diffusion) ------
+    fields = jnp.concatenate([vel, nut[..., None]], axis=-1)      # nf = 4
+    g = green_gauss_gradients(fields, metrics)     # (n+2.., 4, 3)
+    g_int = g[1:-1, 1:-1, 1:-1]
+    gu = g_int[..., 0:3, :]
+    wx = gu[..., 2, 1] - gu[..., 1, 2]
+    wy = gu[..., 0, 2] - gu[..., 2, 0]
+    wz = gu[..., 1, 0] - gu[..., 0, 1]
+    omega = jnp.sqrt(wx ** 2 + wy ** 2 + wz ** 2)
+    gnut = g_int[..., 3, :]
+    gnut2 = jnp.sum(gnut * gnut, axis=-1)
+
+    # ---- source terms ----------------------------------------------------
+    nut_pos = jnp.maximum(nut_c, 1e-14)
+    chi = nut_pos / nu_c
+    fv1 = chi ** 3 / (chi ** 3 + CV1 ** 3)
+    fv2 = 1.0 - chi / (1.0 + chi * fv1)
+    inv_k2d2 = 1.0 / (KARMAN ** 2 * d_c ** 2)
+    s_tilde = omega + nut_pos * fv2 * inv_k2d2
+    # clip S~ away from zero (standard guard; reference uses a similar
+    # limiter) keeping it differentiable
+    s_tilde = jnp.maximum(s_tilde, 0.3 * omega + 1e-16)
+
+    ft2 = CT3 * jnp.exp(-CT4 * chi ** 2) if cfg.turbulence_model == "sa" \
+        else 0.0
+
+    r = jnp.minimum(nut_pos * inv_k2d2 / s_tilde, 10.0)
+    g_fw = r + CW2 * (r ** 6 - r)
+    fw = g_fw * ((1.0 + CW3 ** 6) / (g_fw ** 6 + CW3 ** 6)) ** (1.0 / 6.0)
+
+    prod = CB1 * (1.0 - ft2) * s_tilde * nut_c
+    destr = (CW1 * fw - CB1 / KARMAN ** 2 * ft2) * (nut_c / d_c) ** 2
+    R = -(prod - destr) * vol
+    # cb2 gradient-squared volume term of the diffusion operator
+    R = R - (CB2 / SIGMA) * gnut2 * vol
+
+    # ---- advection (1st-order upwind) + diffusion, per direction ---------
+    # nu + nuTilde at cells (one-ring ext); clipped so transient negative
+    # nuTilde can't produce negative diffusivity
+    nu_eff = (nu_lam + jnp.maximum(nut, 0.0))[1:-1, 1:-1, 1:-1]
+    q_div = 0.0
+    for axis in range(3):
+        s = (metrics.si, metrics.sj, metrics.sk)[axis]
+        itx = [slice(2, -2)] * 3
+        itx[axis] = slice(None)
+        vA = vel[tuple(itx)]
+        vL = _shift(vA, axis, 1, -2)
+        vR = _shift(vA, axis, 2, -1)
+        q_f = jnp.sum(0.5 * (vL + vR) * s, axis=-1)      # u_f . S_f
+        ntA = nut[tuple(itx)]
+        ntL = _shift(ntA, axis, 1, -2)
+        ntR = _shift(ntA, axis, 2, -1)
+        nt_up = jnp.where(q_f >= 0.0, ntL, ntR)
+        flux_adv = q_f * nt_up
+        R = R + (_shift(flux_adv, axis, 1, 0) - _shift(flux_adv, axis, 0, -1))
+        q_div = q_div + (_shift(q_f, axis, 1, 0) - _shift(q_f, axis, 0, -1))
+
+        # diffusion: (1/sigma) (nu+nuT)_f  grad(nuT)_f . S_f
+        gf = _face_gradient(g, fields, metrics.xc_ext, axis, tuple(itx))
+        gnut_f = gf[..., 3, :]
+        nue_f = _face_avg(nu_eff, axis)
+        flux_diff = (1.0 / SIGMA) * nue_f * jnp.sum(gnut_f * s, axis=-1)
+        R = R - (_shift(flux_diff, axis, 1, 0)
+                 - _shift(flux_diff, axis, 0, -1))
+
+    # non-conservative correction: - nuT_c * div(u)*... (integral identity
+    # int u.grad nuT = surface flux - nuT * div u)
+    R = R - nut_c * q_div
+
+    if cfg.turb_res_scale != 1.0:
+        R = R * cfg.turb_res_scale
+    return R[..., None]

@@ -83,7 +83,8 @@ class Packer:
 class NewtonFns(NamedTuple):
     res_flat: Callable            # wvec -> rvec
     rad_sum_cells: Callable       # wvec -> per-block per-cell radius sums
-    make_precond: Callable        # (wvec, cfl) -> v -> M^-1 v  (DADI)
+    make_precond: Callable        # (wvec, cfl) -> v -> M^-1 v  (line PC)
+    collect_pc_data: Callable     # (wvec, cfl) -> [LinePCData] per block
     packer: Packer
 
 
@@ -103,8 +104,6 @@ def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
         w_list = packer.unpack_into(wvec, template)
         r_list = residual_list(w_list, metrics_list, topo, cfg, ref, winf,
                                extras_list)
-        if cfg.rans and cfg.turb_res_scale != 1.0:
-            r_list = [r.at[..., 5:].mul(cfg.turb_res_scale) for r in r_list]
         return packer.pack(r_list)
 
     def rad_sum_cells(wvec):
@@ -123,15 +122,18 @@ def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
             outs.append(rs)
         return w_list, outs
 
+    def collect_pc_data(wvec, cfl, axes=(1, 0, 2), kappa=0.25):
+        from adflow_tpu.solvers.linpc import build_line_pc
+        w_list, rs_list = rad_sum_cells(wvec)
+        return [build_line_pc(w, m, cfg, ref, dtinv=rs / cfl, axes=axes,
+                              kappa=kappa)
+                for w, m, rs in zip(w_list, metrics_list, rs_list)]
+
     def make_precond(wvec, cfl, axes=(1, 0, 2), kappa=1.0):
         """Block line-implicit preconditioner for (V/dt + dR/dw)
         (solvers/linpc.py; replaces the reference's PETSc ASM+ILU)."""
-        from adflow_tpu.solvers.linpc import build_line_pc, line_pc_apply
-        w_list, rs_list = rad_sum_cells(wvec)
-        data_list = [
-            build_line_pc(w, m, cfg, ref, dtinv=rs / cfl, axes=axes,
-                          kappa=kappa)
-            for w, m, rs in zip(w_list, metrics_list, rs_list)]
+        from adflow_tpu.solvers.linpc import line_pc_apply
+        data_list = collect_pc_data(wvec, cfl, axes, kappa)
 
         def precond(v):
             vb = packer.unpack(v)
@@ -141,7 +143,8 @@ def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
         return precond
 
     return NewtonFns(res_flat=res_flat, rad_sum_cells=rad_sum_cells,
-                     make_precond=make_precond, packer=packer)
+                     make_precond=make_precond,
+                     collect_pc_data=collect_pc_data, packer=packer)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,99 @@
+"""Derivative machinery tests.
+
+Reference analogues: tests/reg_tests/test_jacVecProdFWD.py,
+test_jacVecProdBWDFast.py (dot-product consistency, dot_prod_tol=1e-10) and
+test_adjoint.py (adjoint totals). Here totals verify against finite
+differences of full re-solves instead of golden files.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adflow_tpu.api.solver import ADFLOW
+from adflow_tpu.core.refstate import AeroProblem
+from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+OPTS = {
+    "equationType": "euler",
+    "ANKSwitchTol": 1.5,
+    "L2Convergence": 1e-12,
+    "printIterations": False,
+    "printTiming": False,
+    "nCycles": 300,
+}
+
+
+def make_solver():
+    return ADFLOW(options=OPTS, mesh=naca0012_omesh(ni=64, nj=24))
+
+
+@pytest.fixture(scope="module")
+def solved():
+    s = make_solver()
+    ap = AeroProblem(name="n12", mach=0.5, alpha=2.0, evalFuncs=["cl", "cd"])
+    s(ap)
+    return s, ap
+
+
+def test_dot_product_consistency(solved):
+    """<J v, u> == <v, J^T u> to near machine precision (the reference
+    accepts 1e-10; jax.jvp/vjp share one linearization so we get eps)."""
+    s, ap = solved
+    rng = np.random.default_rng(0)
+    wvec, xvec = s._wx_vecs()
+    wd = jnp.asarray(rng.normal(size=wvec.shape))
+    xd = jnp.asarray(rng.normal(size=xvec.shape))
+    rbar = jnp.asarray(rng.normal(size=wvec.shape))
+    rdot = s.computeJacobianVectorProductFwd(
+        wDot=wd, xVDot=xd, residualDeriv=True)
+    gw, gx = s.computeJacobianVectorProductBwd(
+        resBar=rbar, wDeriv=True, xVDeriv=True)
+    lhs = float(jnp.asarray(rdot) @ rbar)
+    rhs = float(gw @ wd) + float(gx @ xd)
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def test_func_jvp_vjp_consistency(solved):
+    s, ap = solved
+    rng = np.random.default_rng(1)
+    wvec, xvec = s._wx_vecs()
+    wd = jnp.asarray(rng.normal(size=wvec.shape))
+    fdot = s.computeJacobianVectorProductFwd(wDot=wd, funcDeriv=True)
+    gw = s.computeJacobianVectorProductBwd(funcsBar={"cl": 1.0}, wDeriv=True)
+    assert abs(fdot["cl"] - float(gw @ wd)) / abs(fdot["cl"]) < 1e-12
+
+
+def test_adjoint_dcl_dalpha(solved):
+    """Adjoint total vs central finite difference of full re-solves."""
+    s, ap = solved
+    sens = {}
+    s.evalFunctionsSens(ap, sens, evalFuncs=["cl"])
+    adj = sens["n12_cl"]["alpha"]
+
+    eps = 1e-4
+    cls = {}
+    for da in (eps, -eps):
+        s2 = make_solver()
+        ap2 = AeroProblem(name="fd", mach=0.5, alpha=2.0 + da,
+                          evalFuncs=["cl"])
+        s2(ap2)
+        f = {}
+        s2.evalFunctions(ap2, f, evalFuncs=["cl"])
+        cls[da] = f["fd_cl"]
+    fd = (cls[eps] - cls[-eps]) / (2 * eps)
+    assert abs(adj - fd) / abs(fd) < 1e-5
+
+
+def test_adjoint_shape_sensitivity_shape(solved):
+    """Shape (volume-coordinate) totals come out with the right layout and
+    are finite — the MPhys/DVGeo coupling surface (reference:
+    adflow_vol_coords, mphys_adflow.py:72-80)."""
+    s, ap = solved
+    sens = {}
+    s.evalFunctionsSens(ap, sens, evalFuncs=["cd"])
+    xv = sens["n12_cd"]["xv"]
+    assert xv.shape == (sum(x.size for x in s.x_list),)
+    assert np.all(np.isfinite(xv))
+    assert np.abs(xv).max() > 0.0
