@@ -22,20 +22,41 @@ import jax.numpy as jnp
 class BlockMetrics(NamedTuple):
     """Metrics for one block with ni x nj x nk cells.
 
-    si: (ni+1, nj, nk, 3)  area vector of constant-i faces, +i oriented
-    sj: (ni, nj+1, nk, 3)
-    sk: (ni, nj, nk+1, 3)
-    vol: (ni+4, nj+4, nk+4) cell volumes, halo layers mirrored
+    Face areas are stored on the ONE-RING EXTENDED grid (halo faces) so a
+    block that is a shard of a larger domain can carry its neighbors' true
+    interface metrics (dist/sharded.py split_metrics) — a single free block
+    fills the ring by edge replication (reference mirrors halo metrics in
+    metric.F90). Properties si/sj/sk expose the interior views.
+
+    siE: (ni+3, nj+2, nk+2, 3)  +i-face area vectors, faces -1..ni+1 over
+         cells -1..nj / -1..nk
+    sjE: (ni+2, nj+3, nk+2, 3)
+    skE: (ni+2, nj+2, nk+3, 3)
+    vol: (ni+4, nj+4, nk+4) cell volumes, halo layers mirrored (or true for
+         shard interfaces)
     xc_ext: (ni+2, nj+2, nk+2, 3) cell centers on the one-ring extended
-        grid; ghost centers linearly extrapolated (viscous face-gradient
-        correction distances)
+        grid; ghost centers mirrored across face centers (viscous
+        face-gradient correction distances)
     """
 
-    si: jnp.ndarray
-    sj: jnp.ndarray
-    sk: jnp.ndarray
+    siE: jnp.ndarray
+    sjE: jnp.ndarray
+    skE: jnp.ndarray
     vol: jnp.ndarray
     xc_ext: jnp.ndarray
+
+    @property
+    def si(self) -> jnp.ndarray:
+        """(ni+1, nj, nk, 3) interior i-face areas."""
+        return self.siE[1:-1, 1:-1, 1:-1]
+
+    @property
+    def sj(self) -> jnp.ndarray:
+        return self.sjE[1:-1, 1:-1, 1:-1]
+
+    @property
+    def sk(self) -> jnp.ndarray:
+        return self.skE[1:-1, 1:-1, 1:-1]
 
 
 def _quad_area(x00, x10, x11, x01):
@@ -123,13 +144,17 @@ def _cell_centers_ext(x: jnp.ndarray) -> jnp.ndarray:
 
 def compute_metrics(x: jnp.ndarray) -> BlockMetrics:
     """All metrics for one block. Halo volumes are mirrored from the interior
-    (reference mirrors halo volumes in metric.F90 so dissipation scaling sees
-    sensible values)."""
+    and halo faces edge-replicated (reference mirrors halo metrics in
+    metric.F90 so dissipation scaling sees sensible values)."""
     si, sj, sk = face_areas(x)
     vol = cell_volumes(x)
     vol = jnp.pad(vol, 2, mode="symmetric")
-    return BlockMetrics(si=si, sj=sj, sk=sk, vol=vol,
-                        xc_ext=_cell_centers_ext(x))
+    pad1 = ((1, 1), (1, 1), (1, 1), (0, 0))
+    return BlockMetrics(
+        siE=jnp.pad(si, pad1, mode="edge"),
+        sjE=jnp.pad(sj, pad1, mode="edge"),
+        skE=jnp.pad(sk, pad1, mode="edge"),
+        vol=vol, xc_ext=_cell_centers_ext(x))
 
 
 compute_metrics_jit = jax.jit(compute_metrics)

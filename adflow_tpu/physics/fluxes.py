@@ -47,12 +47,10 @@ def _shift(a, axis, lo, hi):
 
 
 def extended_face_areas(metrics):
-    """Face-area arrays edge-padded by 1 in every direction, for spectral
-    radii on the one-ring extended cell grid."""
-    siE = jnp.pad(metrics.si, ((1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
-    sjE = jnp.pad(metrics.sj, ((1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
-    skE = jnp.pad(metrics.sk, ((1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
-    return siE, sjE, skE
+    """Face-area arrays on the one-ring extended cell grid, for spectral
+    radii at halo cells (stored in BlockMetrics: true values at shard
+    interfaces, edge-replicated at physical boundaries)."""
+    return metrics.siE, metrics.sjE, metrics.skE
 
 
 def spectral_radii(w, p, metrics) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

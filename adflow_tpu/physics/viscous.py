@@ -34,48 +34,51 @@ def _shift(a, axis, lo, hi):
 
 
 def _extended_metrics(metrics):
-    """Face areas and volumes covering the one-ring extended cell grid.
-    Halo-ring faces use edge replication."""
-    pad = ((1, 1), (1, 1), (1, 1), (0, 0))
-    siE = jnp.pad(metrics.si, pad, mode="edge")
-    sjE = jnp.pad(metrics.sj, pad, mode="edge")
-    skE = jnp.pad(metrics.sk, pad, mode="edge")
-    volE = metrics.vol[1:-1, 1:-1, 1:-1]
-    return siE, sjE, skE, volE
+    """Face areas and volumes covering the one-ring extended cell grid
+    (stored in BlockMetrics; true at shard interfaces)."""
+    return metrics.siE, metrics.sjE, metrics.skE, metrics.vol[1:-1, 1:-1, 1:-1]
 
 
 def green_gauss_gradients(phi, metrics):
-    """Cell-center gradients of scalar fields phi, computed exactly on the
-    INTERIOR (watertight metrics -> uniform fields give exactly zero), then
-    edge-replicated onto the one-ring extended grid. The boundary-face
-    normal-direction correction in _face_gradient supplies the ghost-state
-    information, so replicated tangential gradients cost one order only in
-    the boundary ring (the reference's nodal-gradient scheme has the same
-    boundary closure order, blockette.F90 allNodalGradients).
+    """Cell-center gradients of scalar fields phi, computed by the
+    Green-Gauss balance on EVERY cell of the one-ring extended grid
+    (watertight metrics -> uniform fields give exactly zero on the
+    interior). Ghost-ring cells use the stored extended face metrics
+    (geom/metrics.py BlockMetrics.siE...), which carry the TRUE neighbor
+    metrics at shard interfaces (dist/sharded.py) — so a ghost cell's
+    gradient equals the neighbor's own interior gradient and viscous fluxes
+    are exactly partition-invariant. At physical boundaries the metrics are
+    edge-replicated and the ghost states are BC mirrors, giving the same
+    boundary closure order as the reference's nodal-gradient scheme
+    (blockette.F90 allNodalGradients).
 
     phi: halo-padded (ni+4, nj+4, nk+4, nf) ->  (ni+2, nj+2, nk+2, nf, 3).
     """
-    it = (slice(2, -2),) * 3
-    vol = metrics.vol[it]
+    ext = (slice(1, -1),) * 3
+    vol = metrics.vol[ext]
+    phc = phi[ext]
     out = 0.0
-    for axis, s in enumerate((metrics.si, metrics.sj, metrics.sk)):
-        lo = [slice(2, -2)] * 3
-        hi = [slice(2, -2)] * 3
-        ce = [slice(2, -2)] * 3
-        lo[axis] = slice(1, -3)
-        hi[axis] = slice(3, -1)
-        phm = 0.5 * (phi[tuple(lo)] + phi[it])   # minus-face value
-        php = 0.5 * (phi[tuple(hi)] + phi[it])   # plus-face value
+    # deviatoric form: grad = (1/V) sum_f (phi_f - phi_c) S_f — identical to
+    # plain Green-Gauss on watertight cells (sum S_f = 0) but EXACTLY zero
+    # for constant fields even on the edge-replicated (non-watertight) ghost
+    # metrics at physical boundaries: free-stream preservation holds on the
+    # whole extended grid.
+    for axis, sE in enumerate((metrics.siE, metrics.sjE, metrics.skE)):
+        lo = [slice(1, -1)] * 3
+        hi = [slice(1, -1)] * 3
+        lo[axis] = slice(0, -2)
+        hi[axis] = slice(2, None)
+        dm = 0.5 * (phi[tuple(lo)] - phc)   # phi_minusface - phi_c
+        dp = 0.5 * (phi[tuple(hi)] - phc)   # phi_plusface - phi_c
         fm = [slice(None)] * 3
         fp = [slice(None)] * 3
         fm[axis] = slice(0, -1)
         fp[axis] = slice(1, None)
-        s_m = s[tuple(fm)]
-        s_p = s[tuple(fp)]
-        out = out + (php[..., None] * s_p[..., None, :]
-                     - phm[..., None] * s_m[..., None, :])
-    g = out / vol[..., None, None]
-    return jnp.pad(g, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)), mode="edge")
+        s_m = sE[tuple(fm)]
+        s_p = sE[tuple(fp)]
+        out = out + (dp[..., None] * s_p[..., None, :]
+                     - dm[..., None] * s_m[..., None, :])
+    return out / vol[..., None, None]
 
 
 def _face_gradient(g, phi, xc, axis, it):
