@@ -181,6 +181,8 @@ class ReferenceState:
     chord_ref: float
     moment_ref: np.ndarray    # (xRef, yRef, zRef)
     n_turb: int               # number of turbulence variables carried in w
+    k_inf: float = 0.0        # SST freestream k (nondim)
+    omega_inf: float = 1.0    # SST freestream omega (nondim)
 
     @property
     def nw(self) -> int:
@@ -191,10 +193,10 @@ class ReferenceState:
         vel = self.u_inf
         rho_e = e_int + 0.5 * self.rho_inf * float(vel @ vel)
         w = [self.rho_inf, *(self.rho_inf * vel), rho_e]
-        if self.n_turb >= 1:
+        if self.n_turb == 1:          # SA nuTilde
             w.append(self.nu_tilde_inf)
-        if self.n_turb == 2:  # SST: k, omega placeholders
-            w.append(1.0)
+        elif self.n_turb == 2:        # SST (k, omega)
+            w.extend([self.k_inf, self.omega_inf])
         return np.array(w)
 
 
@@ -206,6 +208,14 @@ def make_reference_state(ap: AeroProblem, lift_index: int = 2,
     mu_inf = (ap.mach * ap.reynoldsLength / ap.reynolds
               if ap.reynolds and ap.reynolds > 0 else 0.0)
     nu_tilde_inf = SA_NU_TILDE_RATIO * mu_inf  # rhoInf' = 1 -> nu' = mu'
+    # SST free stream (reference: initializeFlow referenceState SST branch;
+    # defaults turbIntensityInf ~ 0.1%, eddyVisInfRatio = 0.009):
+    #   kInf = 1.5 (I |u|)^2,  omegaInf = rho kInf / (mu * evr)
+    turb_intensity = 1e-3
+    eddy_vis_inf_ratio = 0.009
+    k_inf = 1.5 * (turb_intensity * ap.mach) ** 2
+    omega_inf = (k_inf / (mu_inf * eddy_vis_inf_ratio)
+                 if mu_inf > 0 else 1.0)
     return ReferenceState(
         mach=ap.mach, alpha=ap.alpha, beta=ap.beta, lift_index=lift_index,
         t_inf_dim=ap.T, p_inf=1.0 / GAMMA, rho_inf=1.0, u_inf=u_inf,
@@ -213,4 +223,5 @@ def make_reference_state(ap: AeroProblem, lift_index: int = 2,
         vel_dir=vel_dir, drag_dir=drag_dir, lift_dir=lift_dir,
         q_inf=0.5 * ap.mach ** 2, area_ref=ap.areaRef, chord_ref=ap.chordRef,
         moment_ref=np.array([ap.xRef, ap.yRef, ap.zRef]), n_turb=n_turb,
+        k_inf=k_inf, omega_inf=omega_inf,
     )

@@ -128,9 +128,20 @@ def apply_bcs(w, metrics, ops: Sequence[BCOp], ref: ReferenceState,
         if op.bc is BCType.B2B_MATCH or op.bc is BCType.OVERSET:
             continue
         nhat = _outward_normals(metrics, op)
+        aux = None
+        if (w.shape[-1] == ITURB + 2
+                and op.bc in (BCType.NS_WALL_ADIABATIC,
+                              BCType.NS_WALL_ISOTHERMAL)):
+            # first-cell height for the SST omega wall value
+            # (turbBCRoutines.F90 SST wall: omega_1 = 60 nu/(beta1 d1^2))
+            s = (metrics.si, metrics.sj, metrics.sk)[op.axis]
+            smag = jnp.linalg.norm(s[op.face_sl], axis=-1)
+            smag = jnp.pad(smag, (op.pad[0], op.pad[1]), mode="edge")
+            vol1 = metrics.vol[op.mirror[0]]
+            aux = {"dn": vol1 / jnp.maximum(smag, 1e-300)}
         for d in range(H):
             wi = w[op.mirror[d]]
-            wg = _ghost_state(op, wi, nhat, ref, winf, layer=d)
+            wg = _ghost_state(op, wi, nhat, ref, winf, layer=d, aux=aux)
             w = w.at[op.ghost[d]].set(wg)
     return w
 
@@ -141,7 +152,22 @@ def _reflect_momentum(wi, nhat):
     return m - 2.0 * mn * nhat
 
 
-def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int):
+def _sst_wall_turb(wi, ref, aux):
+    """(−k_int, 2*omega_wall − omega_int): zero-k wall + Menter omega wall
+    value omega_w = 60 nu/(beta1 d1^2), d1 = first-cell-center distance."""
+    from adflow_tpu.physics.sst import BETA_1, W_FLOOR
+    pi = pressure(wi)
+    ti = GAMMA * pi / wi[..., IRHO]
+    from adflow_tpu.physics.thermo import laminar_viscosity
+    nu = laminar_viscosity(ti, ref.mu_inf, ref.t_inf_dim) / wi[..., IRHO]
+    d1 = jnp.maximum(0.5 * aux["dn"], 1e-12)
+    w_wall = 60.0 * nu / (BETA_1 * d1 ** 2)
+    w_g = jnp.maximum(2.0 * w_wall - wi[..., ITURB + 1], W_FLOOR)
+    return jnp.stack([-wi[..., ITURB], w_g], axis=-1)
+
+
+def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
+                 aux=None):
     """Ghost-cell state for one halo layer given mirror-interior state wi."""
     bc = op.bc
     gamma = GAMMA

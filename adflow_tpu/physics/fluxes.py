@@ -85,7 +85,8 @@ def scaled_diss_radii(radI, radJ, radK, exponent: float):
 
 
 def inviscid_residual(w, p, metrics, vis2: float, vis4: float,
-                      diss_exponent: float = 0.67, por=None):
+                      diss_exponent: float = 0.67, por=None,
+                      const_diss: bool = False):
     """Central + JST residual on the interior, positive = net outflow.
 
     ``por``: optional per-axis face porosity masks (1 = normal flux, 0 =
@@ -112,7 +113,8 @@ def inviscid_residual(w, p, metrics, vis2: float, vis4: float,
     for axis, (s, srad) in enumerate(
             [(metrics.si, sradI), (metrics.sj, sradJ), (metrics.sk, sradK)]):
         mask = None if por is None else por[axis]
-        flux = _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, mask)
+        flux = _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, mask,
+                               const_diss)
         dR = _shift(flux, axis, 1, 0) - _shift(flux, axis, 0, -1)
         R = dR if R is None else R + dR
     return R
@@ -136,7 +138,8 @@ def _pressure_sensor(p):
     return nu
 
 
-def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, por=None):
+def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, por=None,
+                    const_diss: bool = False):
     """Total face flux (central - dissipation) along one axis.
 
     Face f (0..n_ax) separates interior cells f-1, f; in padded coords the
@@ -184,8 +187,14 @@ def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, por=None):
     lamR = _shift(srA, axis, 1, 0)
     lam = 0.5 * (lamL + lamR)
 
-    eps2 = vis2 * jnp.maximum(nuL, nuR)
-    eps4 = jnp.maximum(0.0, vis4 - eps2)
+    if const_diss:
+        # coarse-grid dissipation: constant 2nd-difference only, no sensor
+        # (fluxes.F90 inviscidDissFluxScalarCoarse:4977, vis2Coarse)
+        eps2 = vis2 * jnp.ones_like(jnp.maximum(nuL, nuR))
+        eps4 = jnp.zeros_like(eps2)
+    else:
+        eps2 = vis2 * jnp.maximum(nuL, nuR)
+        eps4 = jnp.maximum(0.0, vis4 - eps2)
     if por is not None:
         pv = jnp.asarray(por, w.dtype)
         eps2 = eps2 * pv

@@ -44,6 +44,9 @@ class ProblemConfig:
     entropy_fix: float = 0.05
     turbulence_model: str = "sa"
     turb_res_scale: float = 1.0
+    # coarse-MG-level mode: constant 2nd-difference dissipation only
+    # (fluxes.F90 coarse variants, option vis2Coarse)
+    coarse_level: bool = False
 
     @property
     def viscous(self) -> bool:
@@ -142,15 +145,24 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
     semi-discrete system is V dw/dt = -R).
     """
     p = pressure(w)
-    r = inviscid_residual(w, p, metrics, cfg.vis2, cfg.vis4,
-                          cfg.diss_exponent, por=por)
+    if cfg.discretization.startswith("upwind"):
+        from adflow_tpu.physics.upwind import upwind_residual
+        r = upwind_residual(w, p, metrics, cfg, por=por)
+    else:
+        r = inviscid_residual(w, p, metrics, cfg.vis2, cfg.vis4,
+                              cfg.diss_exponent, por=por,
+                              const_diss=cfg.coarse_level)
     if cfg.viscous:
         from adflow_tpu.physics.viscous import viscous_residual
-        r = r + viscous_residual(w, p, metrics, cfg, ref)
+        r = r + viscous_residual(w, p, metrics, cfg, ref, extras=extras)
     if cfg.rans:
-        from adflow_tpu.physics.sa import sa_residual
         d = extras["walldist"] if extras else None
-        rt = sa_residual(w, p, metrics, cfg, ref, d)
+        if cfg.turbulence_model.startswith("sst"):
+            from adflow_tpu.physics.sst import sst_residual
+            rt = sst_residual(w, p, metrics, cfg, ref, d)
+        else:
+            from adflow_tpu.physics.sa import sa_residual
+            rt = sa_residual(w, p, metrics, cfg, ref, d)
         r = jnp.concatenate([r, rt], axis=-1)
     return r
 

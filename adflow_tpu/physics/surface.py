@@ -142,21 +142,147 @@ def integrate_forces(w_list, x_list, metrics_list,
 def cost_functions(forces: Dict[str, jnp.ndarray], ref: ReferenceState
                    ) -> Dict[str, jnp.ndarray]:
     """Map integrated vectors to the coefficient menu (reference cost
-    functions, constants.F90:349; subset)."""
+    functions, constants.F90:349-440, nCostFunction=104; the supported
+    subset grows with the features that feed it)."""
     qs = ref.q_inf * ref.area_ref
-    f = forces["force_p"] + forces["force_v"]
-    lift = f @ jnp.asarray(ref.lift_dir)
-    drag = f @ jnp.asarray(ref.drag_dir)
+    fp = forces["force_p"]
+    fv = forces["force_v"]
+    f = fp + fv
+    ld = jnp.asarray(ref.lift_dir)
+    dd = jnp.asarray(ref.drag_dir)
+    lift = f @ ld
+    drag = f @ dd
     mom = forces["moment"] / (qs * ref.chord_ref)
     out = {
         "lift": lift, "drag": drag,
         "cl": lift / qs, "cd": drag / qs,
-        "cdp": (forces["force_p"] @ jnp.asarray(ref.drag_dir)) / qs,
-        "cdv": (forces["force_v"] @ jnp.asarray(ref.drag_dir)) / qs,
+        "clp": (fp @ ld) / qs, "clv": (fv @ ld) / qs,
+        "cdp": (fp @ dd) / qs,
+        "cdv": (fv @ dd) / qs,
         "fx": f[0], "fy": f[1], "fz": f[2],
         "cfx": f[0] / qs, "cfy": f[1] / qs, "cfz": f[2] / qs,
         "mx": forces["moment"][0], "my": forces["moment"][1],
         "mz": forces["moment"][2],
         "cmx": mom[0], "cmy": mom[1], "cmz": mom[2],
     }
+    for k in ("sepsensor", "cavitation", "cpmin_exact", "area"):
+        if k in forces:
+            out[k] = forces[k]
+    for k, v in forces.items():
+        if k.startswith("flow_"):
+            out[k[5:]] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# wall sensors (surfaceIntegrations.F90 wallIntegrationFace:406: sepSensor,
+# cavitation sensor)
+# ---------------------------------------------------------------------------
+
+SEP_SENSOR_SHARPNESS = 10.0
+SEP_SENSOR_OFFSET = 0.0
+CAVITATION_NUMBER = 1.4
+CAVITATION_RHO = 100.0  # KS sharpness for cpmin aggregation
+
+
+def wall_sensors(w_list, metrics_list, patches: Sequence[WallPatch],
+                 ref: ReferenceState) -> Dict[str, jnp.ndarray]:
+    """Separation sensor (KS-smoothed backflow area fraction) and cavitation
+    sensor (smoothed -Cp exceedance area), reference
+    surfaceIntegrations.F90:406-520."""
+    sep = jnp.zeros(())
+    cav = jnp.zeros(())
+    area = jnp.zeros(())
+    cp_ks = jnp.zeros(())   # KS aggregation accumulator for cpmin
+    vhat_inf = jnp.asarray(ref.vel_dir)
+    for patch in patches:
+        w = w_list[patch.block]
+        m = metrics_list[patch.block]
+        s = (m.si, m.sj, m.sk)[patch.axis]
+        s_out = patch.sign * s[patch.face_sl]
+        da = jnp.linalg.norm(s_out, axis=-1)
+        wi = w[patch.int_sl]
+        v = wi[..., IMX:IMZ + 1] / wi[..., IRHO:IRHO + 1]
+        vmag = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        vhat = v / jnp.maximum(vmag, 1e-14)
+        sdot = jnp.sum(vhat * vhat_inf, axis=-1)
+        # sepSensor: ~1 where the near-wall flow opposes the free stream
+        sep = sep + jnp.sum(
+            da / (1.0 + jnp.exp(2.0 * SEP_SENSOR_SHARPNESS
+                                * (sdot - SEP_SENSOR_OFFSET))))
+        wg = w[patch.ghost_sl]
+        p_face = 0.5 * (pressure(wi) + pressure(wg))
+        cp = (p_face - ref.p_inf) / jnp.maximum(ref.q_inf, 1e-300)
+        # cavitation: area where -Cp exceeds the cavitation number
+        cav = cav + jnp.sum(
+            da / (1.0 + jnp.exp(-2.0 * SEP_SENSOR_SHARPNESS
+                                * (-cp - CAVITATION_NUMBER))))
+        cp_ks = cp_ks + jnp.sum(jnp.exp(-CAVITATION_RHO * cp) * da)
+        area = area + jnp.sum(da)
+    out = {"sepsensor": sep, "cavitation": cav, "area": area}
+    if patches:
+        out["cpmin_exact"] = -jnp.log(cp_ks / jnp.maximum(area, 1e-300)) \
+            / CAVITATION_RHO
+    return out
+
+
+# ---------------------------------------------------------------------------
+# flow-through integration (surfaceIntegrations.F90 flowIntegrationFace:894:
+# mass flow, mass-averaged Pt/Tt/Ps/MN over inflow/outflow planes)
+# ---------------------------------------------------------------------------
+
+FLOW_THROUGH_BCS = (BCType.SUBSONIC_INFLOW, BCType.SUBSONIC_OUTFLOW,
+                    BCType.SUPERSONIC_INFLOW, BCType.SUPERSONIC_OUTFLOW)
+
+
+def flow_through(w_list, metrics_list, patches: Sequence[WallPatch],
+                 ref: ReferenceState) -> Dict[str, jnp.ndarray]:
+    """Mass flow + mass/area-averaged totals through inflow/outflow planes.
+    Positive mdot = flow INTO the domain at inflow families (the reference
+    sign convention: inward normal positive for inflow)."""
+    mdot = jnp.zeros(())
+    m_pt = jnp.zeros(())
+    m_tt = jnp.zeros(())
+    m_ps = jnp.zeros(())
+    m_mn = jnp.zeros(())
+    a_pt = jnp.zeros(())
+    a_ps = jnp.zeros(())
+    area = jnp.zeros(())
+    g = GAMMA
+    for patch in patches:
+        w = w_list[patch.block]
+        m = metrics_list[patch.block]
+        s = (m.si, m.sj, m.sk)[patch.axis]
+        s_out = patch.sign * s[patch.face_sl]
+        da = jnp.linalg.norm(s_out, axis=-1)
+        wi = w[patch.int_sl]
+        wg = w[patch.ghost_sl]
+        wf = 0.5 * (wi + wg)
+        rho = wf[..., IRHO]
+        v = wf[..., IMX:IMZ + 1] / rho[..., None]
+        p = pressure(wf)
+        c2 = g * p / rho
+        mn = jnp.linalg.norm(v, axis=-1) / jnp.sqrt(c2)
+        pt = p * (1.0 + 0.5 * (g - 1.0) * mn ** 2) ** (g / (g - 1.0))
+        tt_ratio = (g * p / rho) * (1.0 + 0.5 * (g - 1.0) * mn ** 2)
+        dm = -rho * jnp.sum(v * s_out, axis=-1)     # + into the domain
+        mdot = mdot + jnp.sum(dm)
+        m_pt = m_pt + jnp.sum(dm * pt)
+        m_tt = m_tt + jnp.sum(dm * tt_ratio)
+        m_ps = m_ps + jnp.sum(dm * p)
+        m_mn = m_mn + jnp.sum(dm * mn)
+        a_pt = a_pt + jnp.sum(da * pt)
+        a_ps = a_ps + jnp.sum(da * p)
+        area = area + jnp.sum(da)
+    safe_m = jnp.where(jnp.abs(mdot) > 1e-300, mdot, 1.0)
+    safe_a = jnp.maximum(area, 1e-300)
+    return {
+        "flow_mdot": mdot,
+        "flow_mavgptot": m_pt / safe_m,
+        "flow_mavgttot": m_tt / safe_m,
+        "flow_mavgps": m_ps / safe_m,
+        "flow_mavgmn": m_mn / safe_m,
+        "flow_aavgptot": a_pt / safe_a,
+        "flow_aavgps": a_ps / safe_a,
+        "flow_area": area,
+    }

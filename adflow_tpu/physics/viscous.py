@@ -110,7 +110,7 @@ def _face_gradient(g, phi, xc, axis, it):
     return gbar + corr
 
 
-def viscous_residual(w, p, metrics, cfg, ref, xc_ext=None):
+def viscous_residual(w, p, metrics, cfg, ref, xc_ext=None, extras=None):
     """Viscous flux residual contribution on the interior, sign convention
     matching inviscid_residual (positive = net outflow): R_visc = -sum_f
     Fv . S_out.
@@ -131,9 +131,14 @@ def viscous_residual(w, p, metrics, cfg, ref, xc_ext=None):
     mu_eff = mu
     k_eff = mu / (PR_LAMINAR * (GAMMA - 1.0))
     if cfg.rans:
-        from adflow_tpu.physics.sa import eddy_viscosity
-        wE = w[1:-1, 1:-1, 1:-1]
-        mut = eddy_viscosity(wE, mu)
+        if cfg.turbulence_model.startswith("sst"):
+            from adflow_tpu.physics.sst import eddy_viscosity as mut_sst
+            d_ext = extras["walldist"] if extras else None
+            mut = mut_sst(w, p, metrics, ref, d_ext)
+        else:
+            from adflow_tpu.physics.sa import eddy_viscosity
+            wE = w[1:-1, 1:-1, 1:-1]
+            mut = eddy_viscosity(wE, mu)
         mu_eff = mu_eff + mut
         k_eff = k_eff + mut / (PR_TURB * (GAMMA - 1.0))
 

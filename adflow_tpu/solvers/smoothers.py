@@ -23,6 +23,27 @@ from adflow_tpu.physics.timestep import local_timestep
 RK_COEFFS = (0.25, 1.0 / 6.0, 0.375, 0.5, 1.0)  # JST 5-stage (smoothers.F90)
 
 
+def residual_averaging(r, eps: float):
+    """Implicit residual smoothing: (I - eps d^2)^-1 r per direction
+    (reference: residualAveraging, residuals.F90:1785) — extends the RK
+    stability region so MG can run higher CFL on stretched meshes.
+    r: (ni, nj, nk, nv); constant coefficient eps ~ ((cfl/cfl*)^2 - 1)/4."""
+    from adflow_tpu.solvers.dadi import tridiag_solve
+    for axis in range(3):
+        n = r.shape[axis]
+        if n < 3:
+            continue
+        rm = jnp.moveaxis(r, axis, 0)
+        shp = rm.shape[:-1]
+        lo = jnp.full(shp, -eps, r.dtype).at[0].set(0.0)
+        up = jnp.full(shp, -eps, r.dtype).at[-1].set(0.0)
+        dg = jnp.full(shp, 1.0 + 2.0 * eps, r.dtype)
+        dg = dg.at[0].set(1.0 + eps).at[-1].set(1.0 + eps)
+        rm = tridiag_solve(lo, dg, up, rm)
+        r = jnp.moveaxis(rm, 0, axis)
+    return r
+
+
 def residual_norms(r_list: Sequence[jnp.ndarray], n_mean: int = 5):
     """(||R_meanflow||_2, ||R_turb||_2) over all blocks — the reference's
     totalR / resrho / resturb monitors (solvers.F90 convergenceInfo)."""

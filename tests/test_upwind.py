@@ -1,0 +1,91 @@
+"""Upwind (MUSCL + Roe) discretization tests — the analogue of the
+reference's upwind variants in tests/reg_tests/test_functionals.py
+('euler_upwind' cases, fluxes.F90 inviscidUpwindFlux/riemannFlux)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adflow_tpu.api.solver import ADFLOW
+from adflow_tpu.core.refstate import AeroProblem, make_reference_state
+from adflow_tpu.meshgen.analytic import naca0012_omesh
+from adflow_tpu.physics.residual import ProblemConfig, build_topology, residual_list
+from adflow_tpu.geom.metrics import compute_metrics
+
+OPTS = {
+    "equationType": "euler",
+    "discretization": "upwind",
+    "limiter": "van albada",
+    "useANKSolver": True,
+    "useNKSolver": False,
+    "printIterations": False,
+    "printTiming": False,
+    "CFL": 1.5,
+    "nCycles": 400,
+    "L2Convergence": 1e-10,
+}
+
+
+def test_freestream_preservation():
+    """Uniform free stream must be an exact steady state of the Roe/MUSCL
+    residual on a perturbed (non-Cartesian) farfield cube, and on the
+    interior rows of a wall O-mesh."""
+    from adflow_tpu.meshgen.analytic import cube_mesh
+    mesh = cube_mesh(n=6, perturb=0.25, seed=2)
+    cfg = ProblemConfig(equation_type="euler", vis2=0.25, vis4=1 / 64,
+                        diss_exponent=0.67, discretization="upwind",
+                        limiter="van albada")
+    ap = AeroProblem(name="fs", mach=0.6, alpha=3.0)
+    ref = make_reference_state(ap, lift_index=2, n_turb=0)
+    winf = jnp.asarray(ref.winf())
+    topo = build_topology(mesh)
+    metrics = [compute_metrics(jnp.asarray(b.x)) for b in mesh.blocks]
+    w = [jnp.broadcast_to(winf, tuple(d + 4 for d in b.dims) + (5,))
+         for b in mesh.blocks]
+    (r,) = residual_list(w, metrics, topo, cfg, ref, winf)
+    assert float(jnp.max(jnp.abs(r))) < 1e-12
+
+    # wall O-mesh: rows away from the wall stay exact
+    mesh2 = naca0012_omesh(ni=48, nj=16)
+    topo2 = build_topology(mesh2)
+    metrics2 = [compute_metrics(jnp.asarray(b.x)) for b in mesh2.blocks]
+    w2 = [jnp.broadcast_to(winf, tuple(d + 4 for d in b.dims) + (5,))
+          for b in mesh2.blocks]
+    (r2,) = residual_list(w2, metrics2, topo2, cfg, ref, winf)
+    assert float(jnp.max(jnp.abs(r2[:, 2:, :, :]))) < 1e-12
+
+
+@pytest.mark.parametrize("limiter", ["van albada", "minmod", "first order"])
+def test_limiters_run(limiter):
+    """Every limiter option produces a finite residual."""
+    mesh = naca0012_omesh(ni=48, nj=16)
+    cfg = ProblemConfig(equation_type="euler", vis2=0.25, vis4=1 / 64,
+                        diss_exponent=0.67, discretization="upwind",
+                        limiter=limiter)
+    ap = AeroProblem(name="fs", mach=0.75, alpha=2.0)
+    ref = make_reference_state(ap, lift_index=2, n_turb=0)
+    winf = jnp.asarray(ref.winf())
+    topo = build_topology(mesh)
+    metrics = [compute_metrics(jnp.asarray(b.x)) for b in mesh.blocks]
+    rng = np.random.default_rng(0)
+    w0 = np.broadcast_to(
+        np.asarray(winf),
+        tuple(d + 4 for d in mesh.blocks[0].dims) + (5,)).copy()
+    w0[..., 0] *= 1.0 + 0.05 * rng.standard_normal(w0.shape[:-1])
+    (r,) = residual_list([jnp.asarray(w0)], metrics, topo, cfg, ref, winf)
+    assert np.all(np.isfinite(np.asarray(r)))
+
+
+def test_upwind_solve_matches_jst():
+    """Converged CL from Roe/MUSCL within a few % of JST on the same mesh
+    (discretization-independence of the converged solution)."""
+    mesh = naca0012_omesh(ni=96, nj=32)
+    solver = ADFLOW(options=OPTS, mesh=mesh)
+    ap = AeroProblem(name="up", mach=0.5, alpha=2.0, evalFuncs=["cl", "cd"])
+    solver(ap)
+    assert solver.solve_info.converged
+    funcs = {}
+    solver.evalFunctions(ap, funcs)
+    # JST reference on this mesh: cl = 0.26185, cd = 0.00776 (test_solve_euler)
+    np.testing.assert_allclose(funcs["up_cl"], 0.2618, rtol=0.05)
+    assert abs(funcs["up_cd"]) < 0.01
