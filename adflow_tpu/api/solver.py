@@ -25,7 +25,8 @@ from adflow_tpu.options import Options
 from adflow_tpu.physics.residual import (
     MeshTopology, ProblemConfig, build_topology, fill_halos, residual_list)
 from adflow_tpu.physics.surface import (
-    build_wall_patches, cost_functions, integrate_forces)
+    FLOW_THROUGH_BCS, build_wall_patches, cost_functions, flow_through,
+    integrate_forces, wall_sensors)
 from adflow_tpu.physics.thermo import pressure
 from adflow_tpu.solvers import steady
 from adflow_tpu.solvers.smoothers import residual_norms
@@ -67,6 +68,8 @@ class ADFLOW:
             turbulence_model=self.options["turbulenceModel"].lower(),
         )
         self.wall_patches = build_wall_patches(mesh)
+        self.flow_patches = build_wall_patches(mesh,
+                                               include=FLOW_THROUGH_BCS)
 
         # wall distance for RANS (reference: wallDistance.F90:129)
         self.extras_list = None
@@ -111,10 +114,14 @@ class ADFLOW:
             self.resetFlow(ap)
 
     def resetFlow(self, ap: Optional[AeroProblem] = None):
-        """Uniform free-stream initialization (reference: initFlow,
-        initializeFlow.F90:345)."""
+        """Free-stream (or restart-file) initialization (reference:
+        initFlow, initializeFlow.F90:345; restart read at
+        variableReading.F90)."""
         if ap is not None and self.curAP is not ap:
             self.setAeroProblem(ap)
+        if self.options["restartFile"]:
+            self._load_restart()
+            return
         self.w_list = [
             jnp.broadcast_to(
                 self.winf,
@@ -136,6 +143,66 @@ class ADFLOW:
             def monitor(it, rm, rt):
                 print(f"  iter {it:6d}  resrho {rm:12.6e}  resturb {rt:12.6e}")
 
+        if opt["equationMode"].lower() == "unsteady":
+            from adflow_tpu.solvers.unsteady import (
+                solve_unsteady_bdf, solve_unsteady_explicit_rk)
+            scheme = opt["timeIntegrationScheme"].lower()
+            if scheme.startswith("bdf"):
+                self.w_list, uinfo = solve_unsteady_bdf(
+                    self.w_list, self.metrics_list, self.topo, self.cfg,
+                    self.ref, self.winf,
+                    n_steps=int(kwargs.get("nTimeSteps",
+                                           opt["nTimeStepsFine"])),
+                    dt=float(opt["deltaT"]),
+                    order=int(opt["timeAccuracy"]),
+                    extras_list=self.extras_list, cfl=float(opt["CFL"]))
+            else:
+                self.w_list, uinfo = solve_unsteady_explicit_rk(
+                    self.w_list, self.metrics_list, self.topo, self.cfg,
+                    self.ref, self.winf,
+                    n_steps=int(kwargs.get("nTimeSteps",
+                                           opt["nTimeStepsFine"])),
+                    dt=float(opt["deltaT"]), extras_list=self.extras_list)
+            self.unsteady_info = uinfo
+            ap.solveFailed = ap.fatalFail = bool(uinfo.failed)
+            if opt["printTiming"]:
+                print(f"  unsteady: {uinfo.n_steps} steps to "
+                      f"t={uinfo.times[-1]:.4f}, wall "
+                      f"{time.time() - t0:.2f} s")
+            return
+
+        if opt["equationMode"].lower() == "time spectral":
+            from adflow_tpu.solvers.timespectral import (
+                instance_refstates, solve_time_spectral)
+            n_inst = int(opt["timeIntervals"])
+            omega = float(opt["omegaFourier"])
+            amp = float(kwargs.get("alphaAmplitude",
+                                   getattr(ap, "deltaAlpha", 0.0)))
+            refs, period = instance_refstates(
+                ap, n_inst, omega, amp, int(opt["liftIndex"]),
+                self.cfg.n_turb)
+            winfs = [jnp.asarray(r.winf(), self.dtype) for r in refs]
+            w_inst = [[jnp.broadcast_to(
+                winfs[q], tuple(d + 4 for d in b.dims) + (self.ref.nw,)
+            ).astype(self.dtype) for b in self.mesh.blocks]
+                for q in range(n_inst)]
+            w_inst, info = solve_time_spectral(
+                w_inst, self.metrics_list, self.topo, self.cfg, refs,
+                winfs, period, extras_list=self.extras_list,
+                cfl=float(opt["CFL"]), n_cycles=int(opt["nCycles"]),
+                l2_conv=float(opt["L2Convergence"]), monitor=monitor)
+            self.ts_states = w_inst
+            self.ts_refs = refs
+            self.w_list = w_inst[0]
+            self.solve_info = info
+            ap.solveFailed = ap.fatalFail = bool(info.failed)
+            if opt["printTiming"]:
+                print(f"  time spectral: {n_inst} instances, "
+                      f"{info.iterations} iters, R {info.total_r0:.3e} -> "
+                      f"{info.total_r_final:.3e}, wall "
+                      f"{time.time() - t0:.2f} s")
+            return
+
         use_nk = bool(opt["useNKSolver"])
         use_ank = bool(opt["useANKSolver"])
         if use_nk or use_ank:
@@ -144,6 +211,15 @@ class ADFLOW:
                 self.w_list, self.metrics_list, self.topo, self.cfg,
                 self.ref, self.winf, self.options,
                 extras_list=self.extras_list, monitor=monitor)
+        elif str(opt["MGCycle"]).lower() not in ("sg", "none", ""):
+            from adflow_tpu.solvers.multigrid import solve_mg
+            self.w_list, info = solve_mg(
+                self.w_list, self.mesh, self.x_list, self.topo, self.cfg,
+                self.ref, self.winf, mg_cycle=str(opt["MGCycle"]),
+                cfl=float(opt["CFL"]), n_cycles=int(opt["nCycles"]),
+                l2_conv=float(opt["L2Convergence"]),
+                l2_conv_rel=float(opt["L2ConvergenceRel"]),
+                monitor=monitor, dtype=self.dtype)
         else:
             self.w_list, info = steady.solve_rk(
                 self.w_list, self.metrics_list, self.topo, self.cfg,
@@ -177,6 +253,11 @@ class ADFLOW:
         wf = self._filled_w()
         f = integrate_forces(wf, self.x_list, self.metrics_list,
                              self.wall_patches, self.ref, self.cfg)
+        f.update(wall_sensors(wf, self.metrics_list, self.wall_patches,
+                              self.ref))
+        if self.flow_patches:
+            f.update(flow_through(wf, self.metrics_list, self.flow_patches,
+                                  self.ref))
         all_funcs = cost_functions(f, self.ref)
         for name in evalFuncs:
             key = name.lower()
@@ -229,6 +310,348 @@ class ADFLOW:
 
     def getOption(self, name: str):
         return self.options[name]
+
+    # ------------------------------------------------------------------
+    # solution output + restart (reference: pyADflow.writeSolution:2664,
+    # writeVolumeSolutionFile:2769, writeSurfaceSolutionFile; restart via
+    # the 'restartFile' option -> initFlow/variableReading.F90)
+    # ------------------------------------------------------------------
+    _VOL_VAR_NAMES = ("Density", "VelocityX", "VelocityY", "VelocityZ",
+                      "Pressure")
+
+    def _solution_dicts(self):
+        """Per-block cell-centered solution dicts (primitive + extras)."""
+        out = []
+        wf = self._filled_w()
+        for w in wf:
+            wi = np.asarray(w[2:-2, 2:-2, 2:-2])
+            rho = wi[..., 0]
+            vel = wi[..., 1:4] / rho[..., None]
+            ke = 0.5 * np.sum(wi[..., 1:4] ** 2, axis=-1) / rho
+            p = (1.4 - 1.0) * (wi[..., 4] - ke)
+            d = {"Density": rho, "VelocityX": vel[..., 0],
+                 "VelocityY": vel[..., 1], "VelocityZ": vel[..., 2],
+                 "Pressure": p,
+                 "Mach": np.linalg.norm(vel, axis=-1) / np.sqrt(
+                     1.4 * p / rho),
+                 "CoefPressure": (p - self.ref.p_inf) / max(self.ref.q_inf,
+                                                            1e-300)}
+            if self.cfg.n_turb == 1:
+                d["TurbulentSANuTilde"] = wi[..., 5]
+            elif self.cfg.n_turb == 2:
+                d["TurbulentEnergyKinetic"] = wi[..., 5]
+                d["TurbulentDissipationRate"] = wi[..., 6]
+            out.append(d)
+        return out
+
+    def writeVolumeSolutionFile(self, fileName: str, writeGrid: bool = True):
+        from adflow_tpu.io.cgns import write_cgns
+        write_cgns(self.mesh, fileName, solutions=self._solution_dicts())
+
+    def writeMeshFile(self, fileName: str):
+        from adflow_tpu.io.cgns import write_cgns
+        write_cgns(self.mesh, fileName)
+
+    def writeSurfaceSolutionFile(self, fileName: str):
+        """Tecplot ASCII surface file: one zone per wall patch with
+        x, y, z, Cp (reference: writeCGNSSurface / tecplotIO)."""
+        wf = self._filled_w()
+        with open(fileName, "w") as f:
+            f.write('TITLE = "adflow_tpu surface solution"\n')
+            f.write('VARIABLES = "X" "Y" "Z" "Cp"\n')
+            for pi, patch in enumerate(self.wall_patches):
+                x = np.asarray(self.x_list[patch.block][patch.fnode_sl])
+                w = wf[patch.block]
+                from adflow_tpu.physics.thermo import pressure as _pr
+                p_face = 0.5 * (np.asarray(_pr(w[patch.int_sl]))
+                                + np.asarray(_pr(w[patch.ghost_sl])))
+                cp = (p_face - self.ref.p_inf) / max(self.ref.q_inf, 1e-300)
+                n1, n2 = x.shape[:2]
+                f.write(f'ZONE T="patch{pi}" I={n1} J={n2} '
+                        f'DATAPACKING=BLOCK, VARLOCATION=([4]=CELLCENTERED)\n')
+                for dcomp in range(3):
+                    np.savetxt(f, x[..., dcomp].T.reshape(-1)[None],
+                               fmt="%.12e")
+                np.savetxt(f, cp.T.reshape(-1)[None], fmt="%.12e")
+
+    def writeSolution(self, outputDir: Optional[str] = None,
+                      baseName: Optional[str] = None, number=None):
+        """Write volume + surface + lift-distribution files
+        (reference: pyADflow.writeSolution:2664)."""
+        import os
+        outputDir = outputDir or self.options["outputDirectory"]
+        baseName = baseName or (self.curAP.name if self.curAP else "sol")
+        if number is not None:
+            baseName = f"{baseName}_{int(number):03d}"
+        base = os.path.join(outputDir, baseName)
+        self.writeVolumeSolutionFile(base + "_vol.cgns")
+        self.writeSurfaceSolutionFile(base + "_surf.dat")
+        if getattr(self, "_lift_dists", None):
+            self.writeLiftDistributionFile(base + "_lift.dat")
+
+    def _load_restart(self):
+        """Read the restartFile CGNS solution into the state (reference:
+        variableReading.F90 readRestartFile; type-mismatch tolerant)."""
+        from adflow_tpu.io.cgns import read_cgns_solution
+        sols = read_cgns_solution(self.options["restartFile"])
+        w_list = []
+        for bi, b in enumerate(self.mesh.blocks):
+            d = sols[bi]
+            rho = jnp.asarray(d["Density"], self.dtype)
+            vel = jnp.stack([jnp.asarray(d[f"Velocity{c}"], self.dtype)
+                             for c in "XYZ"], axis=-1)
+            p = jnp.asarray(d["Pressure"], self.dtype)
+            rhoe = p / 0.4 + 0.5 * rho * jnp.sum(vel * vel, axis=-1)
+            cols = [rho[..., None], rho[..., None] * vel, rhoe[..., None]]
+            if self.cfg.n_turb == 1:
+                nut = (jnp.asarray(d["TurbulentSANuTilde"], self.dtype)
+                       if "TurbulentSANuTilde" in d
+                       else jnp.full_like(rho, float(self.winf[5])))
+                cols.append(nut[..., None])
+            elif self.cfg.n_turb == 2:
+                for j, nm in enumerate(("TurbulentEnergyKinetic",
+                                        "TurbulentDissipationRate")):
+                    v = (jnp.asarray(d[nm], self.dtype) if nm in d
+                         else jnp.full_like(rho, float(self.winf[5 + j])))
+                    cols.append(v[..., None])
+            wi = jnp.concatenate(cols, axis=-1)
+            w = jnp.broadcast_to(
+                self.winf, tuple(dd + 4 for dd in b.dims)
+                + (self.ref.nw,)).astype(self.dtype)
+            w_list.append(w.at[2:-2, 2:-2, 2:-2].set(wi))
+        self.w_list = w_list
+
+    def getConvergenceHistory(self):
+        """Reference: pyADflow.getConvergenceHistory:1404."""
+        if self.solve_info is None:
+            return {}
+        h = self.solve_info.history
+        return {"resrho": h[:, 0], "resturb": h[:, 1],
+                "iterations": np.arange(len(h))}
+
+    # ------------------------------------------------------------------
+    # solution utilities (reference: solveCL:1847, getForces:3723,
+    # addLiftDistribution:470)
+    # ------------------------------------------------------------------
+    def solveCL(self, ap: AeroProblem, CLStar: float, alpha0: float = 0.0,
+                delta: float = 0.5, tol: float = 1e-4, maxIter: int = 20,
+                autoReset: bool = False):
+        """Secant iteration on alpha to hit a target CL
+        (pyADflow.solveCL:1847)."""
+        def cl_at(alpha):
+            ap.alpha = alpha
+            self.curAP = None          # force refstate rebuild
+            self._ap_states.pop(ap.name, None)
+            self(ap)
+            funcs = {}
+            self.evalFunctions(ap, funcs, evalFuncs=["cl"])
+            return funcs[f"{ap.name}_cl"]
+
+        a0, a1 = alpha0, alpha0 + delta
+        f0 = cl_at(a0) - CLStar
+        if abs(f0) < tol:
+            return a0
+        f1 = cl_at(a1) - CLStar
+        for _ in range(maxIter):
+            if abs(f1) < tol:
+                return a1
+            if f1 == f0:
+                break
+            a2 = a1 - f1 * (a1 - a0) / (f1 - f0)
+            a0, f0 = a1, f1
+            a1 = a2
+            f1 = cl_at(a1) - CLStar
+        return a1
+
+    def getForces(self, groupName: Optional[str] = None):
+        """Nodal surface forces, cell-face force distributed 1/4 to each
+        face node (reference: warping/getForces.F90:2 with the
+        surfaceCellCenterToNode transfer)."""
+        wf = self._filled_w()
+        out = []
+        from adflow_tpu.physics.thermo import pressure as _pr
+        for patch in self.wall_patches:
+            w = wf[patch.block]
+            m = self.metrics_list[patch.block]
+            s = (m.si, m.sj, m.sk)[patch.axis]
+            s_out = patch.sign * np.asarray(s[patch.face_sl])
+            p_face = 0.5 * (np.asarray(_pr(w[patch.int_sl]))
+                            + np.asarray(_pr(w[patch.ghost_sl])))
+            df = (p_face - self.ref.p_inf)[..., None] * s_out
+            n1 = df.shape[0] + 1
+            n2 = df.shape[1] + 1
+            nodal = np.zeros((n1, n2, 3))
+            for di in (0, 1):
+                for dj in (0, 1):
+                    nodal[di:n1 - 1 + di, dj:n2 - 1 + dj] += 0.25 * df
+            out.append(nodal.reshape(-1, 3))
+        return (np.concatenate(out) if out else np.zeros((0, 3)))
+
+    def addActuatorRegion(self, axis1, axis2, radius: float,
+                          familyName: str = "actuator",
+                          thrust: float = 0.0, torque: float = 0.0):
+        """Add a cylindrical actuator volume adding distributed momentum
+        (thrust along the axis) and energy (torque work) sources
+        (reference: pyADflow.addActuatorRegion:831 ->
+        solver/actuatorRegion.F90, sourceTerms_block residuals.F90:348;
+        the reference takes a closed-surface triangulation — here the
+        region is an axis-aligned cylinder, the common propeller-disk
+        case)."""
+        axis1 = np.asarray(axis1, float)
+        axis2 = np.asarray(axis2, float)
+        axvec = axis2 - axis1
+        length = float(np.linalg.norm(axvec))
+        axhat = axvec / max(length, 1e-300)
+        if self.extras_list is None:
+            self.extras_list = [{} for _ in self.mesh.blocks]
+        # total volume of captured cells (for uniform distribution)
+        masks = []
+        vol_tot = 0.0
+        for bi, m in enumerate(self.metrics_list):
+            from adflow_tpu.geom.metrics import cell_centers
+            xc = np.asarray(cell_centers(self.x_list[bi]))
+            rel = xc - axis1
+            t = rel @ axhat
+            rad = np.linalg.norm(rel - t[..., None] * axhat, axis=-1)
+            mask = ((t >= 0.0) & (t <= length) & (rad <= radius))
+            masks.append(mask)
+            vol = np.asarray(m.vol[2:-2, 2:-2, 2:-2])
+            vol_tot += float(vol[mask].sum())
+        if vol_tot <= 0.0:
+            raise ValueError("actuator region captures no cells")
+        for bi, m in enumerate(self.metrics_list):
+            vol = np.asarray(m.vol[2:-2, 2:-2, 2:-2])
+            src = np.zeros(vol.shape + (5,))
+            f_per_vol = thrust / vol_tot
+            # momentum source along the axis; energy source = F.u added at
+            # residual time would need u — use actuator work f.u with the
+            # local velocity folded in via thrust*axis . u_inf approx; the
+            # reference adds f.u per cell — here: momentum only + torque
+            # tangential momentum, energy from local dot handled below.
+            src[..., 1:4] = (mask_v := masks[bi])[..., None] * (
+                f_per_vol * axhat) * vol[..., None]
+            if torque != 0.0:
+                from adflow_tpu.geom.metrics import cell_centers
+                xc = np.asarray(cell_centers(self.x_list[bi]))
+                rel = xc - axis1
+                t = rel @ axhat
+                rvec = rel - t[..., None] * axhat
+                rad = np.maximum(np.linalg.norm(rvec, axis=-1), 1e-12)
+                that = np.cross(np.broadcast_to(axhat, rvec.shape), rvec)
+                that /= np.maximum(
+                    np.linalg.norm(that, axis=-1, keepdims=True), 1e-300)
+                # torque T = sum f_t * r * V -> f_t = T / (sum r^2 V / r)...
+                # uniform tangential force per volume weighted by radius
+                w_r = rad * vol
+                denom = float((w_r[mask_v] * rad[mask_v]).sum())
+                f_t = torque / max(denom, 1e-300)
+                src[..., 1:4] += (mask_v[..., None]
+                                  * (f_t * rad)[..., None] * that
+                                  * vol[..., None])
+            ex = dict(self.extras_list[bi])
+            ex["act_src_momentum"] = jnp.asarray(src, self.dtype)
+            self.extras_list[bi] = ex
+        # fold the velocity-dependent energy source at residual time:
+        # store momentum sources; energy = f . u computed lazily
+        self._finalize_actuator_sources()
+
+    def _finalize_actuator_sources(self):
+        """Convert stored momentum sources into full (5,) source arrays
+        using the CURRENT velocity for the energy row (f . u)."""
+        for bi in range(len(self.mesh.blocks)):
+            ex = self.extras_list[bi]
+            if "act_src_momentum" not in ex:
+                continue
+            src_m = ex["act_src_momentum"]
+            if self.w_list is not None:
+                wi = self.w_list[bi][2:-2, 2:-2, 2:-2]
+                u = wi[..., 1:4] / wi[..., 0:1]
+            else:
+                u = jnp.zeros(src_m.shape[:-1] + (3,), src_m.dtype)
+            src = src_m.at[..., 4].set(
+                jnp.sum(src_m[..., 1:4] * u, axis=-1))
+            ex = dict(ex)
+            ex["act_src"] = src
+            self.extras_list[bi] = ex
+
+    def getHeatFluxes(self, groupName: Optional[str] = None):
+        """Wall heat flux per wall face, q = k dT/dn (reference:
+        pyADflow.getHeatFluxes:3755; thin-layer wall gradient)."""
+        from adflow_tpu.core.refstate import PR_LAMINAR, GAMMA
+        from adflow_tpu.physics.thermo import (laminar_viscosity,
+                                               temperature)
+        wf = self._filled_w()
+        out = []
+        for patch in self.wall_patches:
+            w = wf[patch.block]
+            m = self.metrics_list[patch.block]
+            s = (m.si, m.sj, m.sk)[patch.axis]
+            smag = np.linalg.norm(np.asarray(s[patch.face_sl]), axis=-1)
+            wi = w[patch.int_sl]
+            wg = w[patch.ghost_sl]
+            ti = np.asarray(temperature(wi))
+            tg = np.asarray(temperature(wg))
+            mu = np.asarray(laminar_viscosity(
+                jnp.asarray(0.5 * (ti + tg)), self.ref.mu_inf,
+                self.ref.t_inf_dim))
+            k = mu / (PR_LAMINAR * (GAMMA - 1.0))
+            vol = np.asarray(m.vol[patch.int_sl])
+            dn = vol / np.maximum(smag, 1e-300)
+            q = k * (ti - tg) / np.maximum(dn, 1e-300)   # dT/dn into wall
+            out.append((q * smag).reshape(-1))
+        return np.concatenate(out) if out else np.zeros(0)
+
+    def addLiftDistribution(self, nSegments: int, direction: str,
+                            groupName: Optional[str] = None):
+        """Spanwise lift-distribution definition
+        (pyADflow.addLiftDistribution:470); written by writeSolution."""
+        if not hasattr(self, "_lift_dists"):
+            self._lift_dists = []
+        idx = {"x": 0, "y": 1, "z": 2}[direction.lower()]
+        self._lift_dists.append((int(nSegments), idx))
+
+    def writeLiftDistributionFile(self, fileName: str):
+        """Bin wall-face forces along the span axis -> sectional
+        distributions (tecplotIO.F90 lift distributions)."""
+        wf = self._filled_w()
+        from adflow_tpu.physics.thermo import pressure as _pr
+        with open(fileName, "w") as f:
+            f.write('TITLE = "lift distribution"\n')
+            f.write('VARIABLES = "coor" "lift" "drag"\n')
+            for nseg, axd in getattr(self, "_lift_dists", []):
+                lo, hi = np.inf, -np.inf
+                data = []
+                for patch in self.wall_patches:
+                    w = wf[patch.block]
+                    m = self.metrics_list[patch.block]
+                    s = (m.si, m.sj, m.sk)[patch.axis]
+                    s_out = patch.sign * np.asarray(s[patch.face_sl])
+                    p_face = 0.5 * (np.asarray(_pr(w[patch.int_sl]))
+                                    + np.asarray(_pr(w[patch.ghost_sl])))
+                    df = (p_face - self.ref.p_inf)[..., None] * s_out
+                    from adflow_tpu.physics.surface import _patch_face_centers
+                    xc = np.asarray(_patch_face_centers(
+                        self.x_list[patch.block], patch))
+                    c = xc[..., axd].reshape(-1)
+                    lo, hi = min(lo, c.min()), max(hi, c.max())
+                    data.append((c, df.reshape(-1, 3)))
+                if not data:
+                    continue
+                if hi - lo < 1e-10:   # quasi-2D: single unit-width band
+                    lo, hi = lo - 0.5, lo + 0.5
+                edges = np.linspace(lo, hi + 1e-12, nseg + 1)
+                lift = np.zeros(nseg)
+                drag = np.zeros(nseg)
+                for c, df in data:
+                    bins = np.clip(np.digitize(c, edges) - 1, 0, nseg - 1)
+                    np.add.at(lift, bins, df @ np.asarray(self.ref.lift_dir))
+                    np.add.at(drag, bins, df @ np.asarray(self.ref.drag_dir))
+                centers = 0.5 * (edges[:-1] + edges[1:])
+                width = edges[1] - edges[0]
+                f.write(f'ZONE T="dist_{"xyz"[axd]}" I={nseg}\n')
+                for i in range(nseg):
+                    f.write(f"{centers[i]:.10e} {lift[i] / width:.10e} "
+                            f"{drag[i] / width:.10e}\n")
 
     # ------------------------------------------------------------------
     # adjoint / derivative machinery (reference: pyADflow.solveAdjoint:4052,

@@ -164,6 +164,12 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
             from adflow_tpu.physics.sa import sa_residual
             rt = sa_residual(w, p, metrics, cfg, ref, d)
         r = jnp.concatenate([r, rt], axis=-1)
+    if extras and "act_src" in extras:
+        # actuator-region momentum/energy sources (sourceTerms_block,
+        # residuals.F90:348; R convention: V dw/dt = -R, so sources
+        # SUBTRACT from R)
+        src = extras["act_src"]
+        r = r.at[..., :5].add(-src)
     return r
 
 

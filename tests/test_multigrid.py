@@ -1,0 +1,67 @@
+"""Geometric multigrid (FAS) tests — analogue of the reference's MG paths in
+tests/reg_tests/test_solver_combos.py (executeMGCycle, multiGrid.F90)."""
+
+import numpy as np
+import pytest
+
+from adflow_tpu.api.solver import ADFLOW
+from adflow_tpu.core.refstate import AeroProblem
+from adflow_tpu.meshgen.analytic import naca0012_omesh
+from adflow_tpu.solvers.multigrid import coarsen_mesh, parse_mg_cycle
+
+BASE = {
+    "equationType": "euler",
+    "useANKSolver": False,
+    "useNKSolver": False,
+    "printIterations": False,
+    "printTiming": False,
+    "CFL": 1.5,
+    "L2Convergence": 1e-6,
+    "nCycles": 600,
+}
+
+
+def test_parse_cycle():
+    assert parse_mg_cycle("sg") == (1, "v")
+    assert parse_mg_cycle("3w") == (3, "w")
+    assert parse_mg_cycle("2v") == (2, "v")
+
+
+def test_coarsen_mesh_topology():
+    mesh = naca0012_omesh(ni=64, nj=24)
+    c = coarsen_mesh(mesh)
+    assert c.blocks[0].dims == (32, 12, 1)   # nk=1 stays (semi-coarsening)
+    c.validate()
+    # coarse nodes are a subset of fine nodes
+    np.testing.assert_array_equal(c.blocks[0].x, mesh.blocks[0].x[::2, ::2, :])
+
+
+def test_mg_2w_converges_stably():
+    """A 2-level FAS W-cycle with implicit residual smoothing converges
+    monotonically after the impulsive-start transient and reduces the
+    residual by 2+ orders within the cycle budget. (Cycle-count wins over
+    single-grid need FMG + trilinear prolongation — tracked follow-up;
+    the reference's MG additionally relies on rFil stage-blended
+    dissipation, residuals.F90:58-66.)"""
+    mesh = naca0012_omesh(ni=64, nj=24)
+    ap = AeroProblem(name="mg", mach=0.5, alpha=1.0)
+    s_mg = ADFLOW(options=dict(BASE, MGCycle="2w", nCycles=300,
+                               L2Convergence=1e-2), mesh=mesh)
+    s_mg(ap)
+    info = s_mg.solve_info
+    assert not info.failed
+    assert info.converged
+    assert info.total_r_final < 1e-2 * info.total_r0
+
+    # MG answer agrees with the deeply-converged Newton answer
+    mesh2 = naca0012_omesh(ni=64, nj=24)
+    s_nk = ADFLOW(options=dict(BASE, MGCycle="sg", useANKSolver=True,
+                               L2Convergence=1e-10, nCycles=300),
+                  mesh=mesh2)
+    s_nk(ap)
+    funcs_nk, funcs_mg = {}, {}
+    s_nk.evalFunctions(ap, funcs_nk, evalFuncs=["cl"])
+    s_mg.evalFunctions(ap, funcs_mg, evalFuncs=["cl"])
+    # at 2 orders of residual convergence CL carries ~5e-3 of transient
+    np.testing.assert_allclose(funcs_mg["mg_cl"], funcs_nk["mg_cl"],
+                               atol=1e-2)
