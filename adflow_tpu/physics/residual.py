@@ -148,6 +148,14 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
     if cfg.discretization.startswith("upwind"):
         from adflow_tpu.physics.upwind import upwind_residual
         r = upwind_residual(w, p, metrics, cfg, por=por)
+    elif ("matrix" in cfg.discretization) and not cfg.coarse_level:
+        # central flux + |A_roe|-scaled JST blend (fluxes.F90
+        # inviscidDissFluxMatrix:403); coarse levels fall back to the
+        # constant scalar dissipation like the reference's coarse variants.
+        from adflow_tpu.physics.upwind import matrix_dissipation_residual
+        r = inviscid_residual(w, p, metrics, 0.0, 0.0, cfg.diss_exponent,
+                              por=por)
+        r = r + matrix_dissipation_residual(w, p, metrics, cfg, por=por)
     else:
         r = inviscid_residual(w, p, metrics, cfg.vis2, cfg.vis4,
                               cfg.diss_exponent, por=por,

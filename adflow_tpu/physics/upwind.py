@@ -181,6 +181,112 @@ def roe_flux(qL, qR, svec, entropy_fix: float = 0.05):
     return 0.5 * (fL + fR) - 0.5 * smag[..., None] * diss
 
 
+def roe_abs_jacobian_apply(qL, qR, svec, dw, eps_acoustic: float = 0.25,
+                           eps_shear: float = 0.025):
+    """|A_roe(qL, qR)| @ dw for a conservative difference vector dw
+    (trailing 5) — the matrix-dissipation scaling (fluxes.F90
+    inviscidDissFluxMatrix:403). svec NOT normalized; result scaled by |S|.
+
+    eps_acoustic / eps_shear floor the eigenvalues at a fraction of the
+    face spectral radius (fluxes.F90:428-633: lam >= eps*rrad); without the
+    floors the dissipation vanishes near stagnation/sonic points and the
+    scheme odd-even decouples (solver stalls)."""
+    smag = jnp.linalg.norm(svec, axis=-1)
+    nhat = svec / jnp.maximum(smag, 1e-300)[..., None]
+    gm1 = GAMMA - 1.0
+
+    rhoL, rhoR = qL[..., 0], qR[..., 0]
+    vL, vR = qL[..., 1:4], qR[..., 1:4]
+    pL, pR = qL[..., 4], qR[..., 4]
+    hL = GAMMA / gm1 * pL / rhoL + 0.5 * jnp.sum(vL * vL, axis=-1)
+    hR = GAMMA / gm1 * pR / rhoR + 0.5 * jnp.sum(vR * vR, axis=-1)
+    rt = jnp.sqrt(jnp.maximum(rhoR / rhoL, 1e-12))
+    wl = 1.0 / (1.0 + rt)
+    wr = rt * wl
+    vA = wl[..., None] * vL + wr[..., None] * vR
+    hA = wl * hL + wr * hR
+    q2A = jnp.sum(vA * vA, axis=-1)
+    c2A = jnp.maximum(gm1 * (hA - 0.5 * q2A), 1e-12)
+    cA = jnp.sqrt(c2A)
+    unA = jnp.sum(vA * nhat, axis=-1)
+
+    # project dw onto characteristic variables:
+    # dw = [d rho, d m, d rhoE]
+    drho = dw[..., 0]
+    dm = dw[..., 1:4]
+    dE = dw[..., 4]
+    du = (dm - vA * drho[..., None])  # rho * d(vel)
+    dun = jnp.sum(du * nhat, axis=-1)
+    # pressure difference from conservative diffs
+    dp = gm1 * (dE - jnp.sum(vA * dm, axis=-1) + 0.5 * q2A * drho)
+
+    alpha1 = (dp - cA * dun) / (2.0 * c2A)
+    alpha2 = drho - dp / c2A
+    alpha3 = (dp + cA * dun) / (2.0 * c2A)
+
+    rrad = jnp.abs(unA) + cA
+    lam1 = jnp.maximum(jnp.abs(unA - cA), eps_acoustic * rrad)
+    lam2 = jnp.maximum(jnp.abs(unA), eps_shear * rrad)
+    lam3 = jnp.maximum(jnp.abs(unA + cA), eps_acoustic * rrad)
+
+    one = jnp.ones_like(unA)
+
+    def wave(rc, vc, ec):
+        return jnp.concatenate([rc[..., None], vc, ec[..., None]], axis=-1)
+
+    r1 = wave(one, vA - cA[..., None] * nhat, hA - cA * unA)
+    r3 = wave(one, vA + cA[..., None] * nhat, hA + cA * unA)
+    dut = du - dun[..., None] * nhat      # rho * tangential dvel
+    r2 = (alpha2[..., None] * wave(one, vA, 0.5 * q2A)
+          + wave(jnp.zeros_like(one), dut, jnp.sum(vA * dut, axis=-1)))
+
+    return smag[..., None] * (
+        lam1[..., None] * alpha1[..., None] * r1
+        + lam2[..., None] * r2
+        + lam3[..., None] * alpha3[..., None] * r3)
+
+
+def matrix_dissipation_residual(w, p, metrics, cfg, por=None):
+    """JST-style 2nd/4th-difference blend with the FULL |A| characteristic
+    scaling instead of the scalar spectral radius — the reference's
+    'central plus matrix dissipation' (fluxes.F90:403). Returns the
+    DISSIPATION-ONLY residual contribution (central flux added by caller)."""
+    from adflow_tpu.physics.fluxes import _pressure_sensor
+    q = _primitives(w, p)
+    nu = _pressure_sensor(p)
+    R = None
+    for axis, s in enumerate([metrics.si, metrics.sj, metrics.sk]):
+        it = [slice(2, -2)] * 3
+        it[axis] = slice(None)
+        it = tuple(it)
+        wLL = _shift(w, axis, 0, -3)[it][..., :5]
+        wL = _shift(w, axis, 1, -2)[it][..., :5]
+        wR = _shift(w, axis, 2, -1)[it][..., :5]
+        wRR = _shift(w, axis, 3, 0)[it][..., :5]
+        qL = _shift(q, axis, 1, -2)[it]
+        qR = _shift(q, axis, 2, -1)[it]
+
+        et = [slice(1, -1)] * 3
+        et[axis] = slice(None)
+        nuA = nu[tuple(et)]
+        nuL = _shift(nuA, axis, 0, -1)
+        nuR = _shift(nuA, axis, 1, 0)
+        eps2 = cfg.vis2 * jnp.maximum(nuL, nuR)
+        eps4 = jnp.maximum(0.0, cfg.vis4 - eps2)
+        if por is not None:
+            pv = jnp.asarray(por[axis], w.dtype)
+            eps2 = eps2 * pv
+            eps4 = eps4 * pv
+
+        d1 = wR - wL
+        d3 = wRR - 3.0 * wR + 3.0 * wL - wLL
+        dblend = eps2[..., None] * d1 - eps4[..., None] * d3
+        diss = roe_abs_jacobian_apply(qL, qR, s, dblend)
+        dR = _shift(diss, axis, 1, 0) - _shift(diss, axis, 0, -1)
+        R = dR if R is None else R + dR
+    return -R
+
+
 def upwind_residual(w, p, metrics, cfg, por=None):
     """MUSCL/Roe residual on the interior (drop-in for
     fluxes.inviscid_residual; positive = net outflow)."""
