@@ -50,8 +50,11 @@ class ADFLOW:
         mesh.validate()
         self.mesh = mesh
 
-        # ---- preprocessing (reference: preprocessingAPI.F90:5) ----
-        self.topo: MeshTopology = build_topology(mesh)
+        # ---- preprocessing (reference: preprocessingAPI.F90:5;
+        # overset assembly = preprocessingoverset -> oversetComm,
+        # oversetAPI.F90:7, explicit cut callback as in pyADflow.py:4370) ----
+        self.topo: MeshTopology = build_topology(
+            mesh, cut_callback=kwargs.pop("cutCallback", None))
         self.x_list = [jnp.asarray(b.x, self.dtype) for b in mesh.blocks]
         self.metrics_list = [compute_metrics(x) for x in self.x_list]
         self._check_volumes()

@@ -1,0 +1,419 @@
+"""Overset (chimera) connectivity: hole cutting, donor search, interpolation.
+
+Reference analogue: ``oversetComm`` (`/root/reference/src/overset/
+oversetAPI.F90:7`, Steps 1-16) — bounding boxes, ADT donor searches
+(`src/ADT/adtLocalSearch.F90`), fringe/donor selection by cell quality,
+interior flooding, and the final interpolation comm structures, with the
+``iblank`` array (compute=1, fringe=-1, hole=0) consumed by every kernel.
+Explicit hole-cut callbacks mirror ``pyADflow.py:4370 _oversetCutCallback``.
+
+TPU-native design (SURVEY.md §7 hard part (d)): all the irregular work —
+cluster identification, hole cutting, containment searches, trilinear weight
+computation — happens ONCE on the host in NumPy/SciPy, producing *static
+gather tables*. At runtime the overset update is a handful of dense gathers +
+one scatter per (receiver, donor) block pair, fully inside jit and
+differentiable (weights are constants; values flow through jax.vjp, matching
+the reference's interpolate-on-the-send-side rule, communication.F90:17-21).
+
+Donor interpolation is trilinear on the *dual* grid of cell centers (the
+reference interpolates from a donor stencil with precomputed weights,
+communication.F90:29-33); trilinear coordinates come from Newton inversion of
+the dual-brick map. Donor quality = smallest donor-cell volume (the
+reference's overlap-resolution criterion, src/overset/oversetAPI.F90
+"quality" sorting). Receivers with no containing donor are clamped to the
+nearest brick — the analogue of orphanAverage (utils/haloExchange.F90:201).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from scipy.spatial import cKDTree
+except ImportError:  # pragma: no cover
+    cKDTree = None
+
+from adflow_tpu.core.mesh import BCType, Face, MultiBlockMesh
+
+H = 2
+
+IBLANK_COMPUTE = 1
+IBLANK_FRINGE = -1
+IBLANK_HOLE = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class OversetGroup:
+    """All fringe cells of one receiver block interpolated from one donor
+    block: one gather + one scatter at runtime."""
+
+    dst_block: int
+    src_block: int
+    dst_flat: np.ndarray      # (n,) into dst's halo-padded flat cell space
+    src_flat: np.ndarray      # (8, n) into src's halo-padded flat cell space
+    weights: np.ndarray       # (8, n) trilinear weights, sum to 1
+    # groups that fill INTERIOR fringe cells run first so they can serve as
+    # fresh donors for later (ghost-receiver) groups — one-pass resolution of
+    # the reference's fringe-donor chains (oversetAPI.F90 fringe sorting)
+    priority: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class OversetTable:
+    """Static overset connectivity (per MG level)."""
+
+    groups: Tuple[OversetGroup, ...]
+    iblank: Tuple[np.ndarray, ...]   # per block, (ni, nj, nk) int8
+    n_orphans: int = 0
+
+
+def _cell_centers(x: np.ndarray) -> np.ndarray:
+    """(ni, nj, nk, 3) interior cell centers from (ni+1, nj+1, nk+1, 3)."""
+    c = 0.125 * (x[:-1, :-1, :-1] + x[1:, :-1, :-1] + x[:-1, 1:, :-1]
+                 + x[:-1, :-1, 1:] + x[1:, 1:, :-1] + x[1:, :-1, 1:]
+                 + x[:-1, 1:, 1:] + x[1:, 1:, 1:])
+    return c
+
+
+def _padded_centers(x: np.ndarray) -> np.ndarray:
+    """Halo-padded cell centers, ghosts linearly extrapolated along each
+    axis (ghost centers only feed receiver *positions*, never donors)."""
+    c = _cell_centers(x)
+    for ax in range(3):
+        lo1 = 2 * np.take(c, [0], ax) - np.take(c, [1], ax)
+        lo2 = 2 * lo1 - np.take(c, [0], ax)
+        hi1 = 2 * np.take(c, [-1], ax) - np.take(c, [-2], ax)
+        hi2 = 2 * hi1 - np.take(c, [-1], ax)
+        c = np.concatenate([lo2, lo1, c, hi1, hi2], axis=ax)
+    return c
+
+
+def _cell_volumes(x: np.ndarray) -> np.ndarray:
+    """Approximate interior cell volumes (parallelepiped of edge midlines) —
+    only used as the donor-quality metric, not in the discretization."""
+    e1 = x[1:, :-1, :-1] - x[:-1, :-1, :-1]
+    e2 = x[:-1, 1:, :-1] - x[:-1, :-1, :-1]
+    e3 = x[:-1, :-1, 1:] - x[:-1, :-1, :-1]
+    return np.abs(np.einsum("...i,...i->...", np.cross(e1, e2), e3))
+
+
+def _clusters(mesh: MultiBlockMesh) -> np.ndarray:
+    """Union-find over 1-to-1 connections: blocks joined by b2b matches form
+    one overset 'cluster' (reference: buildClusterWalls.F90 cluster ids)."""
+    parent = list(range(len(mesh.blocks)))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for bi, b in enumerate(mesh.blocks):
+        for c in b.conns:
+            ra, rb = find(bi), find(c.donor_block)
+            if ra != rb:
+                parent[ra] = rb
+    return np.array([find(i) for i in range(len(mesh.blocks))])
+
+
+def _trilinear_invert(corners: np.ndarray, p: np.ndarray, iters: int = 12):
+    """Newton-invert the trilinear map of dual bricks.
+
+    corners: (n, 2, 2, 2, 3) brick corner coordinates; p: (n, 3) targets.
+    Returns (uvw (n,3), ok (n,) containment with small tolerance).
+    """
+    n = len(p)
+    u = np.full((n, 3), 0.5)
+    c = corners
+    for _ in range(iters):
+        a, b, g = u[:, 0:1], u[:, 1:2], u[:, 2:3]
+        w000 = (1 - a) * (1 - b) * (1 - g)
+        w100 = a * (1 - b) * (1 - g)
+        w010 = (1 - a) * b * (1 - g)
+        w001 = (1 - a) * (1 - b) * g
+        w110 = a * b * (1 - g)
+        w101 = a * (1 - b) * g
+        w011 = (1 - a) * b * g
+        w111 = a * b * g
+        pos = (w000 * c[:, 0, 0, 0] + w100 * c[:, 1, 0, 0]
+               + w010 * c[:, 0, 1, 0] + w001 * c[:, 0, 0, 1]
+               + w110 * c[:, 1, 1, 0] + w101 * c[:, 1, 0, 1]
+               + w011 * c[:, 0, 1, 1] + w111 * c[:, 1, 1, 1])
+        r = pos - p
+        # Jacobian d pos / d u  (a1/b1/g1: flat (n,) for clean broadcasting)
+        a1, b1, g1 = u[:, 0], u[:, 1], u[:, 2]
+
+        def _w(t):
+            return t[:, None]
+
+        du = _w((1 - b1) * (1 - g1)) * (c[:, 1, 0, 0] - c[:, 0, 0, 0]) \
+            + _w(b1 * (1 - g1)) * (c[:, 1, 1, 0] - c[:, 0, 1, 0]) \
+            + _w((1 - b1) * g1) * (c[:, 1, 0, 1] - c[:, 0, 0, 1]) \
+            + _w(b1 * g1) * (c[:, 1, 1, 1] - c[:, 0, 1, 1])
+        dv = _w((1 - a1) * (1 - g1)) * (c[:, 0, 1, 0] - c[:, 0, 0, 0]) \
+            + _w(a1 * (1 - g1)) * (c[:, 1, 1, 0] - c[:, 1, 0, 0]) \
+            + _w((1 - a1) * g1) * (c[:, 0, 1, 1] - c[:, 0, 0, 1]) \
+            + _w(a1 * g1) * (c[:, 1, 1, 1] - c[:, 1, 0, 1])
+        dg = _w((1 - a1) * (1 - b1)) * (c[:, 0, 0, 1] - c[:, 0, 0, 0]) \
+            + _w(a1 * (1 - b1)) * (c[:, 1, 0, 1] - c[:, 1, 0, 0]) \
+            + _w((1 - a1) * b1) * (c[:, 0, 1, 1] - c[:, 0, 1, 0]) \
+            + _w(a1 * b1) * (c[:, 1, 1, 1] - c[:, 1, 1, 0])
+        J = np.stack([du, dv, dg], axis=-1)   # (n, 3, 3)
+        try:
+            step = np.linalg.solve(J, r[..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            step = np.zeros_like(r)
+        u = u - step
+    tol = 1e-6
+    ok = np.all((u > -tol) & (u < 1 + tol), axis=1)
+    return u, ok
+
+
+def _tri_weights(u: np.ndarray) -> np.ndarray:
+    """(n, 3) local coords -> (8, n) weights in (i, j, k) bit order
+    [000,100,010,110,001,101,011,111]."""
+    a, b, g = u[:, 0], u[:, 1], u[:, 2]
+    return np.stack([
+        (1 - a) * (1 - b) * (1 - g), a * (1 - b) * (1 - g),
+        (1 - a) * b * (1 - g), a * b * (1 - g),
+        (1 - a) * (1 - b) * g, a * (1 - b) * g,
+        (1 - a) * b * g, a * b * g])
+
+
+def build_overset(mesh: MultiBlockMesh,
+                  cut_callback: Optional[Callable] = None,
+                  padded_shapes: Optional[Sequence[Tuple[int, ...]]] = None
+                  ) -> Optional[OversetTable]:
+    """Assemble the overset connectivity.
+
+    cut_callback(block_index, centers (n,3)) -> bool mask of HOLE cells —
+    the explicit-cut path (pyADflow _oversetCutCallback). Fringes are (a) the
+    two ghost layers behind every BCType.OVERSET subface and (b) the 2-cell
+    ring of interior cells around holes. Donors come from blocks in a
+    *different* cluster, best (finest) containing donor wins.
+    """
+    nb = len(mesh.blocks)
+    has_overset = any(sf.bc is BCType.OVERSET
+                      for b in mesh.blocks for sf in b.bcs)
+    if not has_overset and cut_callback is None:
+        return None
+    if cKDTree is None:  # pragma: no cover
+        raise RuntimeError("scipy required for overset assembly")
+
+    clusters = _clusters(mesh)
+    centers = [_cell_centers(b.x) for b in mesh.blocks]
+    pcenters = [_padded_centers(b.x) for b in mesh.blocks]
+    vols = [_cell_volumes(b.x) for b in mesh.blocks]
+    trees = [cKDTree(c.reshape(-1, 3)) for c in centers]
+    dims = [b.dims for b in mesh.blocks]
+    if padded_shapes is None:
+        padded_shapes = [tuple(d + 2 * H for d in dm) for dm in dims]
+
+    # --- 1. holes (explicit cut) ------------------------------------------
+    iblank = [np.full(dm, IBLANK_COMPUTE, np.int8) for dm in dims]
+    if cut_callback is not None:
+        for bi in range(nb):
+            mask = np.asarray(
+                cut_callback(bi, centers[bi].reshape(-1, 3)), bool)
+            iblank[bi][mask.reshape(dims[bi])] = IBLANK_HOLE
+
+    # --- 2. fringe sets ----------------------------------------------------
+    # (a) interior ring around holes: dilate the hole mask by 2 cells.
+    for bi in range(nb):
+        hole = iblank[bi] == IBLANK_HOLE
+        if not hole.any():
+            continue
+        near = hole.copy()
+        for _ in range(H):
+            p = np.pad(near, 1, constant_values=False)
+            near = (p[1:-1, 1:-1, 1:-1]
+                    | p[:-2, 1:-1, 1:-1] | p[2:, 1:-1, 1:-1]
+                    | p[1:-1, :-2, 1:-1] | p[1:-1, 2:, 1:-1]
+                    | p[1:-1, 1:-1, :-2] | p[1:-1, 1:-1, 2:])
+        fr = near & ~hole
+        iblank[bi][fr] = IBLANK_FRINGE
+
+    # receiver points: (block, cell-coords-in-padded-frame, xyz)
+    recv_blk: List[int] = []
+    recv_pad3: List[np.ndarray] = []
+    recv_xyz: List[np.ndarray] = []
+
+    for bi in range(nb):
+        fr = np.argwhere(iblank[bi] == IBLANK_FRINGE)
+        if len(fr):
+            recv_blk += [bi] * len(fr)
+            recv_pad3.append(fr + H)
+            recv_xyz.append(centers[bi][tuple(fr.T)])
+        # (b) overset outer-boundary ghost cells
+        for sf in mesh.blocks[bi].bcs:
+            if sf.bc is not BCType.OVERSET:
+                continue
+            ax = sf.face.axis
+            t1, t2 = [a for a in range(3) if a != ax]
+            rng = sf.rng or ((0, dims[bi][t1]), (0, dims[bi][t2]))
+            rr = [None, None, None]
+            rr[ax] = (np.arange(dims[bi][ax], dims[bi][ax] + H)
+                      if sf.face.is_high else np.arange(-H, 0))
+            rr[t1] = np.arange(rng[0][0], rng[0][1])
+            rr[t2] = np.arange(rng[1][0], rng[1][1])
+            g = np.stack(np.meshgrid(*rr, indexing="ij"), -1).reshape(-1, 3)
+            recv_blk += [bi] * len(g)
+            recv_pad3.append(g + H)
+            recv_xyz.append(pcenters[bi][tuple((g + H).T)])
+
+    if not recv_blk:
+        return OversetTable(groups=(), iblank=tuple(iblank))
+
+    recv_blk = np.asarray(recv_blk)
+    recv_pad3 = np.concatenate(recv_pad3, axis=0)
+    recv_xyz = np.concatenate(recv_xyz, axis=0)
+    nrecv = len(recv_blk)
+
+    # --- 3. donor search ---------------------------------------------------
+    best_q = np.full(nrecv, np.inf)
+    best_src = np.full(nrecv, -1, np.int64)
+    best_anchor = np.zeros((nrecv, 3), np.int64)
+    best_uvw = np.zeros((nrecv, 3))
+    contained = np.zeros(nrecv, bool)
+
+    for dbi in range(nb):
+        cand = np.flatnonzero(clusters[recv_blk] != clusters[dbi])
+        if len(cand) == 0:
+            continue
+        p = recv_xyz[cand]
+        dni, dnj, dnk = dims[dbi]
+        if min(dni, dnj, dnk) < 2:
+            continue
+        _, nearest = trees[dbi].query(p)
+        n3 = np.stack(np.unravel_index(nearest, dims[dbi]), axis=1)
+        c = centers[dbi]
+        # try the 8 dual bricks around the nearest center; keep the best
+        loc_ok = np.zeros(len(cand), bool)
+        loc_u = np.full((len(cand), 3), 0.5)
+        loc_anchor = np.zeros((len(cand), 3), np.int64)
+        loc_miss = np.full(len(cand), np.inf)  # distance-outside metric
+        for di in (-1, 0):
+            for dj in (-1, 0):
+                for dk in (-1, 0):
+                    a = n3 + np.array([di, dj, dk])
+                    a = np.clip(a, 0, np.array(dims[dbi]) - 2)
+                    corners = np.empty((len(cand), 2, 2, 2, 3))
+                    for oi in (0, 1):
+                        for oj in (0, 1):
+                            for ok_ in (0, 1):
+                                corners[:, oi, oj, ok_] = c[
+                                    a[:, 0] + oi, a[:, 1] + oj, a[:, 2] + ok_]
+                    u, inb = _trilinear_invert(corners, p)
+                    miss = np.maximum(np.maximum(-u, u - 1), 0).sum(axis=1)
+                    better = (inb & ~loc_ok) | (
+                        (inb == loc_ok) & (miss < loc_miss))
+                    loc_ok |= inb
+                    loc_u[better] = u[better]
+                    loc_anchor[better] = a[better]
+                    loc_miss[better] = miss[better]
+        # donor-hole exclusion: any brick cell that is a hole invalidates
+        ib = iblank[dbi]
+        a = loc_anchor
+        brickmin = np.ones(len(cand), np.int8)
+        for oi in (0, 1):
+            for oj in (0, 1):
+                for ok_ in (0, 1):
+                    brickmin = np.minimum(
+                        brickmin,
+                        ib[a[:, 0] + oi, a[:, 1] + oj, a[:, 2] + ok_])
+        valid = loc_ok & (brickmin != IBLANK_HOLE)
+        q = vols[dbi][a[:, 0], a[:, 1], a[:, 2]]
+        # a contained donor always beats an uncontained one; among contained,
+        # smallest volume (finest grid) wins.
+        gi = cand
+        upgrade = (valid & ~contained[gi]) | (
+            valid & contained[gi] & (q < best_q[gi]))
+        idx = gi[upgrade]
+        best_q[idx] = q[upgrade]
+        best_src[idx] = dbi
+        best_anchor[idx] = a[upgrade]
+        best_uvw[idx] = np.clip(loc_u[upgrade], 0.0, 1.0)
+        contained[idx] = True
+        # orphan fallback: remember SOME donor even if not contained
+        fallback = (~contained[gi]) & (best_src[gi] < 0)
+        idx = gi[fallback]
+        best_src[idx] = dbi
+        best_anchor[idx] = a[fallback]
+        best_uvw[idx] = np.clip(loc_u[fallback], 0.0, 1.0)
+
+    n_orphans = int((~contained).sum())
+    keep = best_src >= 0
+    recv_blk, recv_pad3 = recv_blk[keep], recv_pad3[keep]
+    best_src, best_anchor = best_src[keep], best_anchor[keep]
+    best_uvw = best_uvw[keep]
+
+    # --- 4. compile (dst, src) groups --------------------------------------
+    groups: List[OversetGroup] = []
+    for bi in range(nb):
+        for dbi in range(nb):
+            sel = np.flatnonzero((recv_blk == bi) & (best_src == dbi))
+            if len(sel) == 0:
+                continue
+            ps_d, ps_r = padded_shapes[dbi], padded_shapes[bi]
+            dflat = ((recv_pad3[sel, 0] * ps_r[1] + recv_pad3[sel, 1])
+                     * ps_r[2] + recv_pad3[sel, 2])
+            a = best_anchor[sel] + H   # padded frame
+            sflat = []
+            for ok_ in (0, 1):
+                for oj in (0, 1):
+                    for oi in (0, 1):
+                        f = (((a[:, 0] + oi) * ps_d[1] + a[:, 1] + oj)
+                             * ps_d[2] + a[:, 2] + ok_)
+                        sflat.append(f)
+            w = _tri_weights(best_uvw[sel])  # bit order i fastest
+            # interior fringes (receivers inside the physical cell range)
+            ni, nj, nk = dims[bi]
+            p3 = recv_pad3[sel]
+            interior = np.all((p3 >= H) & (p3 < np.array([ni, nj, nk]) + H),
+                              axis=1)
+            groups.append(OversetGroup(
+                dst_block=bi, src_block=dbi,
+                dst_flat=dflat.astype(np.int32),
+                src_flat=np.stack(sflat).astype(np.int32),
+                weights=w, priority=0 if interior.any() else 1))
+    groups.sort(key=lambda g: g.priority)
+    return OversetTable(groups=tuple(groups), iblank=tuple(iblank),
+                        n_orphans=n_orphans)
+
+
+def apply_overset(w_list, table: Optional[OversetTable]):
+    """Runtime fringe update: trilinear gather from donors, scatter into
+    receivers (ghost AND interior fringe cells). Pure jit-safe indexing."""
+    if table is None or not table.groups:
+        return w_list
+    import jax.numpy as jnp
+
+    # sequential (priority-ordered) application: interior-fringe receivers
+    # update first and then serve as FRESH donors for outer-boundary ghosts
+    out = list(w_list)
+    for g in table.groups:
+        src = out[g.src_block]
+        nv = src.shape[-1]
+        vals = jnp.einsum(
+            "sn,snv->nv", jnp.asarray(g.weights, src.dtype),
+            src.reshape(-1, nv)[jnp.asarray(g.src_flat)])
+        dst = out[g.dst_block]
+        flat = dst.reshape(-1, dst.shape[-1])
+        flat = flat.at[jnp.asarray(g.dst_flat)].set(vals.astype(dst.dtype))
+        out[g.dst_block] = flat.reshape(dst.shape)
+    return out
+
+
+def iblank_masks(table: Optional[OversetTable], nblocks: int,
+                 dims: Sequence[Tuple[int, int, int]]):
+    """Per-block (ni, nj, nk, 1) float masks: 1 for compute cells, 0 for
+    fringe/hole — multiplied into the residual (the reference guards every
+    kernel with iblank; here one mask at the end is equivalent because
+    fringe/hole STATES are overwritten by interpolation each fill)."""
+    if table is None:
+        return [None] * nblocks
+    return [(tab == IBLANK_COMPUTE).astype(np.float64)[..., None]
+            for tab in table.iblank]

@@ -70,6 +70,9 @@ class BlockStatic:
     dims: Tuple[int, int, int]
     bc_ops: Tuple[BCOp, ...]
     por: Optional[tuple] = None   # (porI, porJ, porK) numpy face masks
+    # overset compute mask (ni, nj, nk, 1): 1 compute, 0 fringe/hole
+    # (the reference's iblank, modules/block.F90 / oversetAPI.F90)
+    iblank: Optional[object] = None
 
 
 def _build_porosities(block) -> tuple:
@@ -103,15 +106,25 @@ class MeshTopology:
 
     blocks: Tuple[BlockStatic, ...]
     conn_ops: Tuple[ConnOp, ...]
+    overset: Optional[object] = None   # OversetTable (overset/assembly.py)
 
 
-def build_topology(mesh: MultiBlockMesh) -> MeshTopology:
+def build_topology(mesh: MultiBlockMesh, cut_callback=None) -> MeshTopology:
+    from adflow_tpu.core.mesh import BCType as _BCT
+    from adflow_tpu.overset.assembly import build_overset, iblank_masks
+
+    has_ovs = any(sf.bc is _BCT.OVERSET
+                  for b in mesh.blocks for sf in b.bcs)
+    ovs = (build_overset(mesh, cut_callback=cut_callback)
+           if (has_ovs or cut_callback is not None) else None)
+    masks = iblank_masks(ovs, len(mesh.blocks), [b.dims for b in mesh.blocks])
     return MeshTopology(
         blocks=tuple(
             BlockStatic(dims=b.dims, bc_ops=tuple(build_bc_ops(b)),
-                        por=_build_porosities(b))
-            for b in mesh.blocks),
+                        por=_build_porosities(b), iblank=masks[i])
+            for i, b in enumerate(mesh.blocks)),
         conn_ops=tuple(build_conn_ops(mesh)),
+        overset=ovs,
     )
 
 
@@ -131,6 +144,11 @@ def fill_halos(w_list, metrics_list, topo: MeshTopology,
               for w, m, bs in zip(w_list, metrics_list, topo.blocks)]
     if topo.conn_ops:
         w_list = exchange_halos_list(w_list, topo.conn_ops)
+    if topo.overset is not None:
+        # chimera fringe update AFTER b2b (reference: wOverset inside whalo2,
+        # haloExchange.F90:1330) so donors read freshly-exchanged values
+        from adflow_tpu.overset.assembly import apply_overset
+        w_list = apply_overset(w_list, topo.overset)
     w_list = [apply_bcs(w, m, bs.bc_ops, ref, winf)
               for w, m, bs in zip(w_list, metrics_list, topo.blocks)]
     return w_list
@@ -189,8 +207,15 @@ def residual_list(w_list, metrics_list, topo: MeshTopology,
     out = []
     for i, (w, m) in enumerate(zip(w_list, metrics_list)):
         ex = extras_list[i] if extras_list else None
-        out.append(block_residual(w, m, cfg, ref, ex,
-                                  por=topo.blocks[i].por))
+        r = block_residual(w, m, cfg, ref, ex, por=topo.blocks[i].por)
+        ib = topo.blocks[i].iblank
+        if ib is not None:
+            # zero fringe/hole residual rows (iblank guard); the matching
+            # STATES are overwritten by interpolation every fill, so the
+            # fringe DOFs are dead inputs & outputs — GMRES stays regular
+            # in the compute subspace.
+            r = r * jnp.asarray(ib, r.dtype)
+        out.append(r)
     return out
 
 
