@@ -57,6 +57,7 @@ class ADFLOW:
             mesh, cut_callback=kwargs.pop("cutCallback", None))
         self.x_list = [jnp.asarray(b.x, self.dtype) for b in mesh.blocks]
         self.metrics_list = [compute_metrics(x) for x in self.x_list]
+        self._metrics_base = list(self.metrics_list)
         self._check_volumes()
 
         eq = self.options["equationType"].lower()
@@ -111,6 +112,18 @@ class ADFLOW:
             ap, lift_index=int(self.options["liftIndex"]),
             n_turb=self.cfg.n_turb)
         self.winf = jnp.asarray(self.ref.winf(), self.dtype)
+        # rigid grid motion (reference: gridVelocitiesFineLevel from the
+        # AeroProblem rotation rates, solverUtils.F90:358): attach ALE face
+        # velocities to the metrics; omega nondim by a_inf (grid in meters)
+        if getattr(ap, "rotRate", None) is not None:
+            import numpy as _np
+            from adflow_tpu.geom.metrics import add_grid_motion
+            om = _np.asarray(ap.rotRate, float) / ap.a_dim
+            self.metrics_list = [
+                add_grid_motion(m, x, om, ap.rotCenter)
+                for m, x in zip(self._metrics_base, self.x_list)]
+        else:
+            self.metrics_list = list(self._metrics_base)
         if ap.name in self._ap_states:
             self.w_list = self._ap_states[ap.name]
         else:

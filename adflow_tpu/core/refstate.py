@@ -69,6 +69,8 @@ class AeroProblem:
         yRef: float = 0.0,
         zRef: float = 0.0,
         evalFuncs: Sequence[str] = (),
+        rotRate: Optional[Sequence[float]] = None,
+        rotCenter: Sequence[float] = (0.0, 0.0, 0.0),
         **kwargs,
     ):
         self.name = name
@@ -81,6 +83,10 @@ class AeroProblem:
         self.spanRef = float(spanRef)
         self.xRef, self.yRef, self.zRef = float(xRef), float(yRef), float(zRef)
         self.evalFuncs = list(evalFuncs)
+        # rigid grid rotation (reference AeroProblem xRot/yRot/zRot rates,
+        # consumed by gridVelocitiesFineLevel): rad/s, dimensional
+        self.rotRate = None if rotRate is None else [float(r) for r in rotRate]
+        self.rotCenter = [float(c) for c in rotCenter]
         self.solverOptions: Dict = dict(kwargs.pop("solverOptions", {}))
         # Unknown extra kwargs are stored (parity with baseclasses tolerance).
         self._extras = kwargs

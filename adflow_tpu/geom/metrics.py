@@ -44,6 +44,12 @@ class BlockMetrics(NamedTuple):
     skE: jnp.ndarray
     vol: jnp.ndarray
     xc_ext: jnp.ndarray
+    # Optional ALE grid-face VELOCITY vectors on the same extended grids
+    # (reference: sFaceI/J/K + grid velocities, solverUtils.F90:358-1193).
+    # None => static mesh. Normal face speed used by the fluxes is vf . S.
+    vfIE: object = None
+    vfJE: object = None
+    vfKE: object = None
 
     @property
     def si(self) -> jnp.ndarray:
@@ -57,6 +63,18 @@ class BlockMetrics(NamedTuple):
     @property
     def sk(self) -> jnp.ndarray:
         return self.skE[1:-1, 1:-1, 1:-1]
+
+    @property
+    def vfI(self):
+        return None if self.vfIE is None else self.vfIE[1:-1, 1:-1, 1:-1]
+
+    @property
+    def vfJ(self):
+        return None if self.vfJE is None else self.vfJE[1:-1, 1:-1, 1:-1]
+
+    @property
+    def vfK(self):
+        return None if self.vfKE is None else self.vfKE[1:-1, 1:-1, 1:-1]
 
 
 def _quad_area(x00, x10, x11, x01):
@@ -158,3 +176,33 @@ def compute_metrics(x: jnp.ndarray) -> BlockMetrics:
 
 
 compute_metrics_jit = jax.jit(compute_metrics)
+
+
+def rigid_velocity(points, omega, center, vtrans):
+    """v(x) = omega x (x - center) + vtrans for rigid-body grid motion
+    (reference: gridVelocitiesFineLevel, solverUtils.F90:358 — rotation
+    rate + translation of the whole grid / a rotating reference frame)."""
+    om = jnp.asarray(omega, points.dtype)
+    c = jnp.asarray(center, points.dtype)
+    vt = jnp.asarray(vtrans, points.dtype)
+    return jnp.cross(jnp.broadcast_to(om, points.shape), points - c) + vt
+
+
+def add_grid_motion(metrics: BlockMetrics, x: jnp.ndarray, omega,
+                    center=(0.0, 0.0, 0.0), vtrans=(0.0, 0.0, 0.0)
+                    ) -> BlockMetrics:
+    """Attach rigid-motion face velocities to a block's metrics.
+
+    Face velocities are evaluated at face centroids (the same points the
+    volume formula integrates), so for rigid motion the discrete velocity
+    divergence telescopes to ~0 per cell and freestream is preserved (the
+    ALE GCL, reference src/solver/ALEUtils.F90).
+    """
+    xmi, xmj, xmk = face_centers(x)
+    pad1 = ((1, 1), (1, 1), (1, 1), (0, 0))
+
+    def vf(xm):
+        return jnp.pad(rigid_velocity(xm, omega, center, vtrans), pad1,
+                       mode="edge")
+
+    return metrics._replace(vfIE=vf(xmi), vfJE=vf(xmj), vfKE=vf(xmk))

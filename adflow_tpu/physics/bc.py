@@ -119,6 +119,16 @@ def _outward_normals(metrics, op: BCOp):
     return n / jnp.maximum(mag, 1e-300)
 
 
+def _face_velocity(metrics, op: BCOp):
+    """ALE wall velocity over the (extended) subface, or None if static
+    (reference: BCData%uSlip from gridVelocitiesFineLevel)."""
+    vf = (metrics.vfI, metrics.vfJ, metrics.vfK)[op.axis]
+    if vf is None:
+        return None
+    v = vf[op.face_sl]
+    return jnp.pad(v, (op.pad[0], op.pad[1], (0, 0)), mode="edge")
+
+
 def apply_bcs(w, metrics, ops: Sequence[BCOp], ref: ReferenceState,
               winf: jnp.ndarray):
     """Fill all physical-BC halo layers of one block. Static unroll over ops
@@ -129,6 +139,11 @@ def apply_bcs(w, metrics, ops: Sequence[BCOp], ref: ReferenceState,
             continue
         nhat = _outward_normals(metrics, op)
         aux = None
+        if op.bc in (BCType.EULER_WALL, BCType.NS_WALL_ADIABATIC,
+                     BCType.NS_WALL_ISOTHERMAL):
+            uw = _face_velocity(metrics, op)
+            if uw is not None:
+                aux = {"uwall": uw}
         if (w.shape[-1] == ITURB + 2
                 and op.bc in (BCType.NS_WALL_ADIABATIC,
                               BCType.NS_WALL_ISOTHERMAL)):
@@ -138,7 +153,8 @@ def apply_bcs(w, metrics, ops: Sequence[BCOp], ref: ReferenceState,
             smag = jnp.linalg.norm(s[op.face_sl], axis=-1)
             smag = jnp.pad(smag, (op.pad[0], op.pad[1]), mode="edge")
             vol1 = metrics.vol[op.mirror[0]]
-            aux = {"dn": vol1 / jnp.maximum(smag, 1e-300)}
+            aux = dict(aux or {})
+            aux["dn"] = vol1 / jnp.maximum(smag, 1e-300)
         for d in range(H):
             wi = w[op.mirror[d]]
             wg = _ghost_state(op, wi, nhat, ref, winf, layer=d, aux=aux)
@@ -147,7 +163,10 @@ def apply_bcs(w, metrics, ops: Sequence[BCOp], ref: ReferenceState,
 
 
 def _reflect_momentum(wi, nhat):
-    m = wi[..., IMX:IMZ + 1]
+    return _reflect_momentum_vec(wi[..., IMX:IMZ + 1], nhat)
+
+
+def _reflect_momentum_vec(m, nhat):
     mn = jnp.sum(m * nhat, axis=-1, keepdims=True)
     return m - 2.0 * mn * nhat
 
@@ -172,21 +191,31 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
     bc = op.bc
     gamma = GAMMA
 
+    uwall = aux.get("uwall") if aux else None
+
     if bc in (BCType.SYMMETRY, BCType.SYMMETRY_POLAR, BCType.EULER_WALL):
         # slip: mirror the momentum vector; rho, rhoE, turb unchanged
         # (BCRoutines.F90:223 bcSymm, :1063 bcEulerWall — the reference's
         # Euler wall adds a normal-momentum pressure correction; mirror is
-        # the same face state for flat faces)
-        m = _reflect_momentum(wi, nhat)
+        # the same face state for flat faces). Moving Euler wall: reflect
+        # the RELATIVE momentum so (u - uwall) . n flips sign.
+        if bc is BCType.EULER_WALL and uwall is not None:
+            mw = wi[..., IRHO:IRHO + 1] * uwall
+            m = mw + _reflect_momentum_vec(wi[..., IMX:IMZ + 1] - mw, nhat)
+        else:
+            m = _reflect_momentum(wi, nhat)
         return jnp.concatenate(
             [wi[..., IRHO:IRHO + 1], m, wi[..., IRHOE:]], axis=-1)
 
     if bc is BCType.NS_WALL_ADIABATIC:
         # no-slip: opposite velocity, same rho/energy; turb -> -interior so
-        # the wall value is zero (BCRoutines.F90:489 bcNSWallAdiabatic)
+        # the wall value is zero (BCRoutines.F90:489 bcNSWallAdiabatic);
+        # moving wall: ghost velocity = 2 uwall - u_int
+        mg = -wi[..., IMX:IMZ + 1]
+        if uwall is not None:
+            mg = mg + 2.0 * wi[..., IRHO:IRHO + 1] * uwall
         out = jnp.concatenate(
-            [wi[..., IRHO:IRHO + 1], -wi[..., IMX:IMZ + 1],
-             wi[..., IRHOE:ITURB]], axis=-1)
+            [wi[..., IRHO:IRHO + 1], mg, wi[..., IRHOE:ITURB]], axis=-1)
         if wi.shape[-1] > ITURB:
             out = jnp.concatenate([out, -wi[..., ITURB:]], axis=-1)
         return out
@@ -198,6 +227,8 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
         tg = jnp.maximum(2.0 * twall - ti, 0.05 * twall)
         rho_g = gamma * pi / tg
         vg = -wi[..., IMX:IMZ + 1] / wi[..., IRHO:IRHO + 1]
+        if uwall is not None:
+            vg = vg + 2.0 * uwall
         rhoe = pi / (gamma - 1.0) + 0.5 * rho_g * jnp.sum(vg * vg, axis=-1)
         out = jnp.concatenate(
             [rho_g[..., None], rho_g[..., None] * vg, rhoe[..., None]],

@@ -63,12 +63,17 @@ def spectral_radii(w, p, metrics) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray
     c = jnp.sqrt(GAMMA * pE / rho)
     siE, sjE, skE = extended_face_areas(metrics)
 
-    def rad(sE, axis):
+    def rad(sE, vfE, axis):
         s_avg = 0.5 * (_shift(sE, axis, 0, -1) + _shift(sE, axis, 1, 0))
-        un = jnp.abs(jnp.sum(vel * s_avg, axis=-1))
-        return un + c * jnp.linalg.norm(s_avg, axis=-1)
+        un = jnp.sum(vel * s_avg, axis=-1)
+        if vfE is not None:
+            # ALE: convective speed relative to the moving faces
+            vf_avg = 0.5 * (_shift(vfE, axis, 0, -1) + _shift(vfE, axis, 1, 0))
+            un = un - jnp.sum(vf_avg * s_avg, axis=-1)
+        return jnp.abs(un) + c * jnp.linalg.norm(s_avg, axis=-1)
 
-    return rad(siE, 0), rad(sjE, 1), rad(skE, 2)
+    return (rad(siE, metrics.vfIE, 0), rad(sjE, metrics.vfJE, 1),
+            rad(skE, metrics.vfKE, 2))
 
 
 def scaled_diss_radii(radI, radJ, radK, exponent: float):
@@ -110,11 +115,13 @@ def inviscid_residual(w, p, metrics, vis2: float, vis4: float,
         [w[..., :IRHOE], (w[..., IRHOE] + p)[..., None]], axis=-1)
 
     R = None
-    for axis, (s, srad) in enumerate(
-            [(metrics.si, sradI), (metrics.sj, sradJ), (metrics.sk, sradK)]):
+    for axis, (s, srad, vf) in enumerate(
+            [(metrics.si, sradI, metrics.vfI),
+             (metrics.sj, sradJ, metrics.vfJ),
+             (metrics.sk, sradK, metrics.vfK)]):
         mask = None if por is None else por[axis]
         flux = _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, mask,
-                               const_diss)
+                               const_diss, vf=vf)
         dR = _shift(flux, axis, 1, 0) - _shift(flux, axis, 0, -1)
         R = dR if R is None else R + dR
     return R
@@ -139,12 +146,17 @@ def _pressure_sensor(p):
 
 
 def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, por=None,
-                    const_diss: bool = False):
+                    const_diss: bool = False, vf=None):
     """Total face flux (central - dissipation) along one axis.
 
     Face f (0..n_ax) separates interior cells f-1, f; in padded coords the
     four-cell stencil is w[f .. f+3]. Output shape: faces x interior
     tangential x 5. ``por``: face porosity (see inviscid_residual).
+    ``vf``: optional ALE face velocity vectors (same shape as s) — the
+    convective velocity becomes relative to the moving face and the energy
+    row gains the p * (vf . S) face-work term (inviscidCentralFlux with
+    sFace, fluxes.F90:4; at zero-porosity moving walls the p*sdot piston
+    work survives, matching the reference's boundFlux + sFace treatment).
     """
     it = [slice(2, -2)] * 3
     it[axis] = slice(None)
@@ -156,23 +168,28 @@ def _face_flux_axis(w, p, wd, nu, s, srad, axis, vis2, vis4, por=None,
     pL = _shift(p, axis, 1, -2)[tuple(it)]
     pR = _shift(p, axis, 2, -1)[tuple(it)]
 
-    if por is None:
-        central = 0.5 * (_euler_flux(wL[..., :5], pL, s)
-                         + _euler_flux(wR[..., :5], pR, s))
-    else:
-        # porosity-aware central flux: kill the convective velocity at
-        # solid faces, keep the (average) pressure (fluxes.F90 boundFlux)
+    sdot = None if vf is None else jnp.sum(vf * s, axis=-1)
+    qL = jnp.sum(wL[..., IMX:IMZ + 1] * s, axis=-1) / wL[..., 0]
+    qR = jnp.sum(wR[..., IMX:IMZ + 1] * s, axis=-1) / wR[..., 0]
+    qrelL = qL if sdot is None else qL - sdot
+    qrelR = qR if sdot is None else qR - sdot
+    if por is not None:
+        # kill convection (relative velocity) at solid faces; pressure
+        # (+ moving-wall work) remains (fluxes.F90 boundFlux)
         pv = jnp.asarray(por, w.dtype)
-        qL = jnp.sum(wL[..., IMX:IMZ + 1] * s, axis=-1) / wL[..., 0] * pv
-        qR = jnp.sum(wR[..., IMX:IMZ + 1] * s, axis=-1) / wR[..., 0] * pv
-        pa = 0.5 * (pL + pR)
-        fmass = 0.5 * (wL[..., 0] * qL + wR[..., 0] * qR)
-        fmom = (0.5 * (wL[..., IMX:IMZ + 1] * qL[..., None]
-                       + wR[..., IMX:IMZ + 1] * qR[..., None])
-                + pa[..., None] * s)
-        fen = 0.5 * ((wL[..., IRHOE] + pL) * qL + (wR[..., IRHOE] + pR) * qR)
-        central = jnp.concatenate(
-            [fmass[..., None], fmom, fen[..., None]], axis=-1)
+        qrelL = qrelL * pv
+        qrelR = qrelR * pv
+    pa = 0.5 * (pL + pR)
+    fmass = 0.5 * (wL[..., 0] * qrelL + wR[..., 0] * qrelR)
+    fmom = (0.5 * (wL[..., IMX:IMZ + 1] * qrelL[..., None]
+                   + wR[..., IMX:IMZ + 1] * qrelR[..., None])
+            + pa[..., None] * s)
+    fen = 0.5 * ((wL[..., IRHOE] + pL) * qrelL
+                 + (wR[..., IRHOE] + pR) * qrelR)
+    if sdot is not None:
+        fen = fen + pa * sdot
+    central = jnp.concatenate(
+        [fmass[..., None], fmom, fen[..., None]], axis=-1)
 
     # -- JST dissipation --------------------------------------------------
     # sensor and scaled radius live on the one-ring extended grid (n+2);
