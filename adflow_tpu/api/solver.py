@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adflow_tpu.core.mesh import MultiBlockMesh, WALL_BCS
+from adflow_tpu.core.mesh import BCType, MultiBlockMesh, WALL_BCS
 from adflow_tpu.core.refstate import (
     AeroProblem, ReferenceState, make_reference_state)
 from adflow_tpu.geom.metrics import compute_metrics
@@ -275,6 +275,8 @@ class ADFLOW:
             f.update(flow_through(wf, self.metrics_list, self.flow_patches,
                                   self.ref))
         all_funcs = cost_functions(f, self.ref)
+        if getattr(self, "_extra_funcs", None):
+            all_funcs.update(self._eval_extra_funcs(all_funcs))
         for name in evalFuncs:
             key = name.lower()
             if key in all_funcs:
@@ -807,6 +809,302 @@ class ADFLOW:
         if xVDeriv:
             out.append(np.asarray(gx))
         return out[0] if len(out) == 1 else tuple(out)
+
+    # ------------------------------------------------------------------
+    # Geometry interface (reference: setSurfaceCoordinates:3208,
+    # updateGeometryInfo:4295, setGrid/getGrid warping.F90:70,195)
+    # ------------------------------------------------------------------
+    def setSurfaceCoordinates(self, coords, groupName: Optional[str] = None):
+        """Stage new wall-surface node coordinates; applied (IDW volume
+        warp + metric rebuild) by updateGeometryInfo, like the reference's
+        deferred ``_updateGeomInfo`` flag."""
+        self._pending_surface = np.asarray(coords, float)
+        self._geom_dirty = True
+
+    def updateGeometryInfo(self):
+        """Warp the volume mesh to the staged surface and rebuild metrics
+        (reference: updateGeometryInfo:4295 -> IDWarp warp + metric)."""
+        if not getattr(self, "_geom_dirty", False):
+            return
+        from adflow_tpu.geom.warp import warp_mesh
+        pts0 = self.getSurfaceCoordinates()
+        disp = self._pending_surface - pts0
+        self.x_list = warp_mesh(self.mesh, self.x_list, pts0, disp)
+        self._rebuild_geometry()
+        self._geom_dirty = False
+
+    def _rebuild_geometry(self):
+        """Recompute metrics/wall distances and drop stale jitted closures
+        after any node-coordinate change."""
+        self.metrics_list = [compute_metrics(x) for x in self.x_list]
+        self._metrics_base = list(self.metrics_list)
+        if self.cfg.rans:
+            from adflow_tpu.geom.walldist import compute_wall_distances
+            import dataclasses as _dc
+            d_list = compute_wall_distances(self.mesh, self.x_list,
+                                            self.dtype)
+            for ex, d in zip(self.extras_list, d_list):
+                ex["walldist"] = d
+        self._nfns = None
+        self._afns = None
+        self._psi_cache = {}
+        ap, self.curAP = self.curAP, None
+        if ap is not None:
+            self.setAeroProblem(ap)
+
+    def getGrid(self):
+        """Flat volume-node coordinate vector in block order (reference:
+        getGrid, warping.F90:195 — the MPhys 'adflow_vol_coords')."""
+        return np.concatenate(
+            [np.asarray(x).reshape(-1) for x in self.x_list])
+
+    def setGrid(self, flat):
+        """Set all volume nodes from a flat vector (reference: setGrid,
+        warping.F90:70)."""
+        flat = np.asarray(flat, float)
+        off = 0
+        new = []
+        for x in self.x_list:
+            n = int(np.prod(x.shape))
+            new.append(jnp.asarray(flat[off:off + n].reshape(x.shape),
+                                   self.dtype))
+            off += n
+        self.x_list = new
+        self._rebuild_geometry()
+
+    # ------------------------------------------------------------------
+    # Slices & extra output (reference: addSlices:516, tecplotIO.F90)
+    # ------------------------------------------------------------------
+    def addSlices(self, direction: str, positions, sliceType: str = "relative",
+                  groupName: Optional[str] = None):
+        """Register plane cuts of the wall surface (reference addSlices:516;
+        direction in 'x','y','z')."""
+        if not hasattr(self, "_slices"):
+            self._slices = []
+        ax = {"x": 0, "y": 1, "z": 2}[direction.lower()]
+        for pos in np.atleast_1d(positions):
+            self._slices.append((ax, float(pos)))
+
+    def _surface_cp(self, patch):
+        from adflow_tpu.physics.thermo import pressure
+        w = self._filled_w()[patch.block]
+        pi = pressure(w[patch.int_sl])
+        pg = pressure(w[patch.ghost_sl])
+        pw = 0.5 * (pi + pg)
+        qinf = 0.5 * self.ref.mach ** 2
+        return np.asarray((pw - self.ref.p_inf) / qinf)
+
+    def writeSlicesFile(self, fileName: str):
+        """Write all registered slices as Tecplot FELINESEG zones."""
+        from adflow_tpu.io.slices import slice_quads, write_tecplot_slices
+        out = []
+        for (ax, pos) in getattr(self, "_slices", []):
+            nrm = np.zeros(3)
+            nrm[ax] = 1.0
+            p0 = nrm * pos
+            segs_all, vals_all = [], {"Cp": []}
+            for patch in self.wall_patches:
+                corners = np.asarray(self.x_list[patch.block][patch.fnode_sl])
+                cp = self._surface_cp(patch)
+                segs, vals = slice_quads(corners, {"Cp": cp}, p0, nrm)
+                if len(segs):
+                    segs_all.append(segs)
+                    vals_all["Cp"].append(vals["Cp"])
+            if segs_all:
+                out.append((f"slice_{'xyz'[ax]}_{pos:g}",
+                            np.concatenate(segs_all),
+                            {"Cp": np.concatenate(vals_all["Cp"])}))
+        write_tecplot_slices(fileName, out)
+
+    def writeForceFile(self, fileName: str, groupName: Optional[str] = None):
+        """Nodal wall force file (reference: writeForceFile:2884)."""
+        pts = self.getSurfaceCoordinates(groupName)
+        forces = self.getForces(groupName)
+        with open(fileName, "w") as f:
+            f.write(f"{len(pts)}\n")
+            for p, fr in zip(pts, np.asarray(forces).reshape(-1, 3)):
+                f.write(" ".join(f"{v:.12e}" for v in (*p, *fr)) + "\n")
+
+    # ------------------------------------------------------------------
+    # Composite / user cost functions (reference: addUserFunction:1005,
+    # addFunction:1048)
+    # ------------------------------------------------------------------
+    def addFunction(self, funcName: str, groupName: Optional[str],
+                    name: Optional[str] = None):
+        """Register <funcName> restricted to a surface family group."""
+        if not hasattr(self, "_extra_funcs"):
+            self._extra_funcs = {}
+        name = name or f"{funcName}_{groupName}"
+        self._extra_funcs[name.lower()] = ("family", funcName.lower(),
+                                           groupName)
+        return name
+
+    def addUserFunction(self, funcName: str, functions: Sequence[str],
+                        callback):
+        """Register a Python composite of existing cost functions
+        (reference: adflowUserFunc, pyADflow.py:1005/6814)."""
+        if not hasattr(self, "_extra_funcs"):
+            self._extra_funcs = {}
+        self._extra_funcs[funcName.lower()] = ("user", list(functions),
+                                               callback)
+        return funcName
+
+    def _eval_extra_funcs(self, base: dict) -> dict:
+        out = {}
+        for name, spec in getattr(self, "_extra_funcs", {}).items():
+            if spec[0] == "user":
+                _, deps, cb = spec
+                out[name] = float(cb({d: base[d.lower()] for d in deps}))
+            else:
+                _, fname, group = spec
+                patches = [p for p in self.wall_patches
+                           if group is None or p.family == group]
+                f = integrate_forces(self._filled_w(), self.x_list,
+                                     self.metrics_list, patches, self.ref,
+                                     self.cfg)
+                out[name] = float(cost_functions(f, self.ref)[fname])
+        return out
+
+    # ------------------------------------------------------------------
+    # Solution utilities (reference: solveSep:2516, solveTrimCL:2236,
+    # solveTargetFuncs:2369, solveErrorEstimate:5370,
+    # propagateUncertainty:1784)
+    # ------------------------------------------------------------------
+    def _func_at(self, ap, dvs: dict, names):
+        for k, v in dvs.items():
+            setattr(ap, k, float(v))
+        self.curAP = None
+        self._ap_states.pop(ap.name, None)
+        self(ap)
+        funcs = {}
+        self.evalFunctions(ap, funcs, evalFuncs=list(names))
+        return [funcs[f"{ap.name}_{n}"] for n in names]
+
+    def solveTargetFuncs(self, ap: AeroProblem, targets: dict, dvs: dict,
+                         tol: float = 1e-4, maxIter: int = 12):
+        """Broyden (multi-variable secant) solve driving cost functions to
+        targets by varying AeroProblem scalars (reference
+        solveTargetFuncs:2369)."""
+        names = list(targets)
+        keys = list(dvs)
+        x = np.array([float(dvs[k]) for k in keys])
+        t = np.array([float(targets[n]) for n in names])
+        f = np.array(self._func_at(ap, dict(zip(keys, x)), names)) - t
+        # initial Jacobian by forward differences
+        J = np.zeros((len(names), len(keys)))
+        for j, k in enumerate(keys):
+            dx = max(1e-2, 1e-2 * abs(x[j]))
+            xp = x.copy()
+            xp[j] += dx
+            fp = np.array(self._func_at(ap, dict(zip(keys, xp)), names)) - t
+            J[:, j] = (fp - f) / dx
+        for _ in range(maxIter):
+            if np.abs(f).max() < tol:
+                break
+            step = np.linalg.lstsq(J, -f, rcond=None)[0]
+            x = x + step
+            fn = np.array(self._func_at(ap, dict(zip(keys, x)), names)) - t
+            df = fn - f
+            # Broyden rank-1 update
+            denom = float(step @ step)
+            if denom > 0:
+                J = J + np.outer(df - J @ step, step) / denom
+            f = fn
+        return dict(zip(keys, x))
+
+    def solveTrimCL(self, ap: AeroProblem, CLStar: float, trimStar: float = 0.0,
+                    alpha0: float = 0.0, trimDV: str = "beta",
+                    trimFunc: str = "cmy", tol: float = 1e-4,
+                    maxIter: int = 12):
+        """2x2 trim solve: alpha->CL*, trim DV -> trim function target
+        (reference solveTrimCL:2236)."""
+        ap.alpha = alpha0
+        return self.solveTargetFuncs(
+            ap, {"cl": CLStar, trimFunc: trimStar},
+            {"alpha": alpha0, trimDV: getattr(ap, trimDV, 0.0)},
+            tol=tol, maxIter=maxIter)
+
+    def solveSep(self, ap: AeroProblem, sepStar: float, alpha0: float = 0.0,
+                 delta: float = 0.5, tol: float = 1e-4, maxIter: int = 20):
+        """Secant on alpha to a target separation-sensor value
+        (reference solveSep:2516)."""
+        out = self.solveTargetFuncs(ap, {"sepsensor": sepStar},
+                                    {"alpha": alpha0}, tol=tol,
+                                    maxIter=maxIter)
+        return out["alpha"]
+
+    def solveErrorEstimate(self, ap: AeroProblem, objective: str):
+        """Adjoint-weighted residual error estimate for one function:
+        err = -psi^T R(w) (reference solveErrorEstimate:5370)."""
+        self.setAeroProblem(ap)
+        psi = self.solveAdjoint(ap, objective.lower())
+        fns = self._adjoint_fns()
+        wvec, xvec = self._wx_vecs()
+        r = fns.res(wvec, xvec, self._ap_params(ap))
+        return -float(jnp.vdot(jnp.asarray(psi), r))
+
+    def propagateUncertainty(self, ap: AeroProblem, evalFuncs, uq: dict):
+        """First-order (linearized) uncertainty propagation: sigma_f^2 =
+        sum (df/dv)^2 sigma_v^2 over aero DVs (reference
+        propagateUncertainty:1784)."""
+        sens = {}
+        self.evalFunctionsSens(ap, sens, evalFuncs=list(evalFuncs))
+        out = {}
+        for name in evalFuncs:
+            key = f"{ap.name}_{name}"
+            var = 0.0
+            for dv, sigma in uq.items():
+                d = sens.get(key, {}).get(dv, 0.0)
+                var += (float(np.asarray(d).reshape(-1)[0]
+                              if np.ndim(d) else d) * sigma) ** 2
+            out[key] = math_sqrt(var)
+        return out
+
+    def mapVector(self, vec, groupName1: Optional[str],
+                  groupName2: Optional[str], vec2=None):
+        """Map a surface-point vector between family groups (reference
+        mapVector:5045). Groups are node sets of wall patches."""
+        def rows(group):
+            rows = []
+            off = 0
+            for patch in self.wall_patches:
+                n = int(np.prod(np.asarray(
+                    self.x_list[patch.block][patch.fnode_sl]).shape[:-1]))
+                if group is None or patch.family == group:
+                    rows.extend(range(off, off + n))
+                off += n
+            return np.asarray(rows, int)
+
+        r1, r2 = rows(groupName1), rows(groupName2)
+        full = np.zeros((sum(int(np.prod(np.asarray(
+            self.x_list[p.block][p.fnode_sl]).shape[:-1]))
+            for p in self.wall_patches), vec.shape[-1]))
+        full[r1] = np.asarray(vec)
+        out = full[r2]
+        if vec2 is not None:
+            np.asarray(vec2)[...] = out
+        return out
+
+    def setWallTemperature(self, temperature):
+        """Prescribe isothermal-wall temperatures (reference
+        setWallTemperature:3793): scalar or per-patch dict {family: T}."""
+        for blk in self.mesh.blocks:
+            for sf in blk.bcs:
+                if sf.bc is BCType.NS_WALL_ISOTHERMAL:
+                    t = (temperature.get(sf.family)
+                         if isinstance(temperature, dict) else temperature)
+                    if t is not None:
+                        d = dict(sf.data or {})
+                        d["T"] = float(t)
+                        object.__setattr__(sf, "data", d)
+        self.topo = build_topology(self.mesh)
+        self._nfns = None
+        self._afns = None
+
+
+def math_sqrt(x):
+    import math
+    return math.sqrt(x)
 
 
 # Alias matching this framework's own naming

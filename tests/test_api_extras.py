@@ -1,0 +1,94 @@
+"""API-parity utilities: slices, warping, user functions, trim/targets.
+
+Reference analogues: pyADflow addSlices:516, setSurfaceCoordinates:3208,
+updateGeometryInfo:4295, addUserFunction:1005, addFunction:1048,
+solveTargetFuncs:2369, solveErrorEstimate:5370, mapVector:5045,
+getGrid/setGrid (warping.F90).
+"""
+
+import os
+
+import numpy as np
+
+from adflow_tpu.api.solver import ADFLOW
+from adflow_tpu.core.refstate import AeroProblem
+from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+
+def _solver(nCycles=5):
+    mesh = naca0012_omesh(ni=32, nj=12)
+    return ADFLOW(options={"equationType": "euler", "useANKSolver": False,
+                           "useNKSolver": False, "nCycles": nCycles},
+                  mesh=mesh)
+
+
+def test_slices_and_force_file(tmp_path):
+    s = _solver()
+    ap = AeroProblem(name="t", mach=0.5, alpha=2.0)
+    s(ap)
+    s.addSlices("z", [0.05])
+    fn = str(tmp_path / "slices.dat")
+    s.writeSlicesFile(fn)
+    txt = open(fn).read()
+    assert "FELINESEG" in txt and "Cp" in txt
+    # the z=0.05 cut of the airfoil surface must produce segments
+    assert "slice_z_0.05" in txt
+    fn2 = str(tmp_path / "forces.txt")
+    s.writeForceFile(fn2)
+    assert os.path.getsize(fn2) > 0
+
+
+def test_user_and_family_functions():
+    s = _solver()
+    ap = AeroProblem(name="t", mach=0.5, alpha=2.0)
+    s(ap)
+    s.addUserFunction("clsq", ["cl"], lambda f: f["cl"] ** 2)
+    funcs = {}
+    s.evalFunctions(ap, funcs, evalFuncs=["cl", "clsq"])
+    assert np.isclose(funcs["t_clsq"], funcs["t_cl"] ** 2)
+    name = s.addFunction("cd", "wall")
+    funcs2 = {}
+    s.evalFunctions(ap, funcs2, evalFuncs=[name])
+    assert np.isfinite(funcs2[f"t_{name}"])
+
+
+def test_warp_and_grid_roundtrip():
+    s = _solver()
+    x0 = s.getGrid()
+    pts = s.getSurfaceCoordinates()
+    vol0 = [np.asarray(m.vol).min() for m in s.metrics_list]
+    # bump the surface slightly along +y and warp
+    new = pts.copy()
+    new[:, 1] += 0.002
+    s.setSurfaceCoordinates(new)
+    s.updateGeometryInfo()
+    x1 = s.getGrid()
+    assert not np.allclose(x0, x1)
+    for m in s.metrics_list:  # warped mesh stays valid
+        assert float(np.asarray(m.vol).min()) > 0
+    # surface actually moved (IDW is interpolatory at control points)
+    pts1 = s.getSurfaceCoordinates()
+    assert np.allclose(pts1[:, 1] - pts[:, 1], 0.002, atol=5e-4)
+    # setGrid restores
+    s.setGrid(x0)
+    assert np.allclose(s.getGrid(), x0)
+
+
+def test_map_vector():
+    s = _solver()
+    pts = s.getSurfaceCoordinates()
+    v = np.arange(len(pts) * 3, dtype=float).reshape(-1, 3)
+    out = s.mapVector(v, "wall", "wall")
+    assert out.shape == v.shape
+    assert np.allclose(out, v)
+
+
+def test_solve_target_funcs():
+    s = _solver(nCycles=60)
+    ap = AeroProblem(name="tt", mach=0.5, alpha=0.0)
+    out = s.solveTargetFuncs(ap, {"cl": 0.12}, {"alpha": 0.0},
+                             tol=5e-3, maxIter=8)
+    funcs = {}
+    s.evalFunctions(ap, funcs, evalFuncs=["cl"])
+    assert abs(funcs["tt_cl"] - 0.12) < 5e-3
+    assert 0.0 < out["alpha"] < 5.0
