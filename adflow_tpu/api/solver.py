@@ -267,10 +267,12 @@ class ADFLOW:
         if evalFuncs is None:
             evalFuncs = ap.evalFuncs
         wf = self._filled_w()
+        ibl = [bs.iblank for bs in self.topo.blocks]
         f = integrate_forces(wf, self.x_list, self.metrics_list,
-                             self.wall_patches, self.ref, self.cfg)
+                             self.wall_patches, self.ref, self.cfg,
+                             iblank_list=ibl)
         f.update(wall_sensors(wf, self.metrics_list, self.wall_patches,
-                              self.ref))
+                              self.ref, iblank_list=ibl))
         if self.flow_patches:
             f.update(flow_through(wf, self.metrics_list, self.flow_patches,
                                   self.ref))

@@ -91,9 +91,21 @@ def _patch_face_centers(x, patch: WallPatch):
     return 0.25 * (corner(0, 0) + corner(1, 0) + corner(0, 1) + corner(1, 1))
 
 
+def patch_iblank_mask(iblank_list, patch):
+    """(T1, T2) weight for a wall patch's faces: 1 where the adjacent cell
+    computes, 0 at overset fringe/hole wall cells — the simplified stand-in
+    for the reference's zipper mesh (overset/zipperMesh.F90:18), which
+    removes overlapped surface quads before integration."""
+    if iblank_list is None or iblank_list[patch.block] is None:
+        return None
+    ib = jnp.asarray(iblank_list[patch.block])
+    ibp = jnp.pad(ib, ((2, 2), (2, 2), (2, 2), (0, 0)), constant_values=1.0)
+    return ibp[patch.int_sl][..., 0]
+
+
 def integrate_forces(w_list, x_list, metrics_list,
                      patches: Sequence[WallPatch], ref: ReferenceState,
-                     cfg=None) -> Dict[str, jnp.ndarray]:
+                     cfg=None, iblank_list=None) -> Dict[str, jnp.ndarray]:
     """Integrated force + moment vectors (nondim), pressure and viscous
     parts. Halos of w must be filled. Returns dict of 3-vectors."""
     force_p = jnp.zeros(3)
@@ -105,6 +117,9 @@ def integrate_forces(w_list, x_list, metrics_list,
         m = metrics_list[patch.block]
         s = (m.si, m.sj, m.sk)[patch.axis]
         s_out = patch.sign * s[patch.face_sl]          # out of the fluid
+        mask = patch_iblank_mask(iblank_list, patch)
+        if mask is not None:
+            s_out = s_out * mask[..., None]
         wi = w[patch.int_sl]
         wg = w[patch.ghost_sl]
         p_face = 0.5 * (pressure(wi) + pressure(wg))
@@ -186,7 +201,8 @@ CAVITATION_RHO = 100.0  # KS sharpness for cpmin aggregation
 
 
 def wall_sensors(w_list, metrics_list, patches: Sequence[WallPatch],
-                 ref: ReferenceState) -> Dict[str, jnp.ndarray]:
+                 ref: ReferenceState, iblank_list=None
+                 ) -> Dict[str, jnp.ndarray]:
     """Separation sensor (KS-smoothed backflow area fraction) and cavitation
     sensor (smoothed -Cp exceedance area), reference
     surfaceIntegrations.F90:406-520."""
@@ -201,6 +217,9 @@ def wall_sensors(w_list, metrics_list, patches: Sequence[WallPatch],
         s = (m.si, m.sj, m.sk)[patch.axis]
         s_out = patch.sign * s[patch.face_sl]
         da = jnp.linalg.norm(s_out, axis=-1)
+        msk = patch_iblank_mask(iblank_list, patch)
+        if msk is not None:
+            da = da * msk
         wi = w[patch.int_sl]
         v = wi[..., IMX:IMZ + 1] / wi[..., IRHO:IRHO + 1]
         vmag = jnp.linalg.norm(v, axis=-1, keepdims=True)
