@@ -132,8 +132,11 @@ def build_adjoint_fns(solver) -> AdjointFns:
     def funcs(wvec, xvec, params):
         ref, winf, x_list, metrics_list, w_list = _prep(wvec, xvec, params)
         w_list = fill_halos(w_list, metrics_list, topo, ref, winf)
+        # iblank mask threaded so the adjoint differentiates the SAME
+        # (fringe/hole-masked) functional the primal evalFunctions reports
+        ibl = [bs.iblank for bs in topo.blocks]
         f = integrate_forces(w_list, x_list, metrics_list, wall_patches,
-                             ref, cfg)
+                             ref, cfg, iblank_list=ibl)
         return cost_functions(f, ref)
 
     return AdjointFns(res=res, funcs=funcs, pack_x=pack_x,

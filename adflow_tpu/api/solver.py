@@ -53,8 +53,9 @@ class ADFLOW:
         # ---- preprocessing (reference: preprocessingAPI.F90:5;
         # overset assembly = preprocessingoverset -> oversetComm,
         # oversetAPI.F90:7, explicit cut callback as in pyADflow.py:4370) ----
+        self._cut_cb = kwargs.pop("cutCallback", None)
         self.topo: MeshTopology = build_topology(
-            mesh, cut_callback=kwargs.pop("cutCallback", None))
+            mesh, cut_callback=self._cut_cb)
         self.x_list = [jnp.asarray(b.x, self.dtype) for b in mesh.blocks]
         self.metrics_list = [compute_metrics(x) for x in self.x_list]
         self._metrics_base = list(self.metrics_list)
@@ -963,7 +964,9 @@ class ADFLOW:
                            if group is None or p.family == group]
                 f = integrate_forces(self._filled_w(), self.x_list,
                                      self.metrics_list, patches, self.ref,
-                                     self.cfg)
+                                     self.cfg,
+                                     iblank_list=[bs.iblank for bs
+                                                  in self.topo.blocks])
                 out[name] = float(cost_functions(f, self.ref)[fname])
         return out
 
@@ -1099,7 +1102,7 @@ class ADFLOW:
                         d = dict(sf.data or {})
                         d["T"] = float(t)
                         object.__setattr__(sf, "data", d)
-        self.topo = build_topology(self.mesh)
+        self.topo = build_topology(self.mesh, cut_callback=self._cut_cb)
         self._nfns = None
         self._afns = None
 

@@ -55,9 +55,10 @@ class OversetGroup:
     dst_flat: np.ndarray      # (n,) into dst's halo-padded flat cell space
     src_flat: np.ndarray      # (8, n) into src's halo-padded flat cell space
     weights: np.ndarray       # (8, n) trilinear weights, sum to 1
-    # groups that fill INTERIOR fringe cells run first so they can serve as
-    # fresh donors for later (ghost-receiver) groups — one-pass resolution of
-    # the reference's fringe-donor chains (oversetAPI.F90 fringe sorting)
+    # interior-fringe groups (priority 0) apply before ghost-receiver groups
+    # (priority 1) so ghosts read fresh fringe donors; deeper fringe-chains
+    # converge via the solver's outer iterations (the reference topologically
+    # sorts fringe-donor chains instead, oversetAPI.F90 fringe sorting)
     priority: int = 1
 
 
@@ -351,34 +352,42 @@ def build_overset(mesh: MultiBlockMesh,
     best_uvw = best_uvw[keep]
 
     # --- 4. compile (dst, src) groups --------------------------------------
+    # Groups are split by receiver class: interior-fringe receivers
+    # (priority 0) apply before ghost receivers (priority 1), so ghost
+    # interpolation reads fresh interior-fringe donor values. Chains deeper
+    # than interior->ghost (fringe reading another block's fringe donor)
+    # still resolve through the outer fixed-point iterations of the solve.
     groups: List[OversetGroup] = []
     for bi in range(nb):
         for dbi in range(nb):
-            sel = np.flatnonzero((recv_blk == bi) & (best_src == dbi))
-            if len(sel) == 0:
+            pair = np.flatnonzero((recv_blk == bi) & (best_src == dbi))
+            if len(pair) == 0:
                 continue
             ps_d, ps_r = padded_shapes[dbi], padded_shapes[bi]
-            dflat = ((recv_pad3[sel, 0] * ps_r[1] + recv_pad3[sel, 1])
-                     * ps_r[2] + recv_pad3[sel, 2])
-            a = best_anchor[sel] + H   # padded frame
-            sflat = []
-            for ok_ in (0, 1):
-                for oj in (0, 1):
-                    for oi in (0, 1):
-                        f = (((a[:, 0] + oi) * ps_d[1] + a[:, 1] + oj)
-                             * ps_d[2] + a[:, 2] + ok_)
-                        sflat.append(f)
-            w = _tri_weights(best_uvw[sel])  # bit order i fastest
-            # interior fringes (receivers inside the physical cell range)
             ni, nj, nk = dims[bi]
-            p3 = recv_pad3[sel]
-            interior = np.all((p3 >= H) & (p3 < np.array([ni, nj, nk]) + H),
-                              axis=1)
-            groups.append(OversetGroup(
-                dst_block=bi, src_block=dbi,
-                dst_flat=dflat.astype(np.int32),
-                src_flat=np.stack(sflat).astype(np.int32),
-                weights=w, priority=0 if interior.any() else 1))
+            p3_all = recv_pad3[pair]
+            interior = np.all(
+                (p3_all >= H) & (p3_all < np.array([ni, nj, nk]) + H), axis=1)
+            for prio, msel in ((0, interior), (1, ~interior)):
+                sel = pair[msel]
+                if len(sel) == 0:
+                    continue
+                dflat = ((recv_pad3[sel, 0] * ps_r[1] + recv_pad3[sel, 1])
+                         * ps_r[2] + recv_pad3[sel, 2])
+                a = best_anchor[sel] + H   # padded frame
+                sflat = []
+                for ok_ in (0, 1):
+                    for oj in (0, 1):
+                        for oi in (0, 1):
+                            f = (((a[:, 0] + oi) * ps_d[1] + a[:, 1] + oj)
+                                 * ps_d[2] + a[:, 2] + ok_)
+                            sflat.append(f)
+                w = _tri_weights(best_uvw[sel])  # bit order i fastest
+                groups.append(OversetGroup(
+                    dst_block=bi, src_block=dbi,
+                    dst_flat=dflat.astype(np.int32),
+                    src_flat=np.stack(sflat).astype(np.int32),
+                    weights=w, priority=prio))
     groups.sort(key=lambda g: g.priority)
     return OversetTable(groups=tuple(groups), iblank=tuple(iblank),
                         n_orphans=n_orphans)

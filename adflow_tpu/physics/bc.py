@@ -214,8 +214,19 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
         mg = -wi[..., IMX:IMZ + 1]
         if uwall is not None:
             mg = mg + 2.0 * wi[..., IRHO:IRHO + 1] * uwall
+            # recompute ghost energy from the INTERIOR pressure and the new
+            # ghost velocity so pp1 == pp2 across the wall like the
+            # reference (bcNSWallAdiabatic sets pp1=pp2 and recomputes E;
+            # keeping rhoE unchanged would shift ghost p by
+            # O(rho uwall (uwall - u)))
+            pi = pressure(wi)
+            rhoe = (pi / (gamma - 1.0)
+                    + 0.5 * jnp.sum(mg * mg, axis=-1) / wi[..., IRHO])
+            rhoe = rhoe[..., None]
+        else:
+            rhoe = wi[..., IRHOE:IRHOE + 1]
         out = jnp.concatenate(
-            [wi[..., IRHO:IRHO + 1], mg, wi[..., IRHOE:ITURB]], axis=-1)
+            [wi[..., IRHO:IRHO + 1], mg, rhoe], axis=-1)
         if wi.shape[-1] > ITURB:
             out = jnp.concatenate([out, -wi[..., ITURB:]], axis=-1)
         return out

@@ -117,6 +117,11 @@ def sa_residual(w, p, metrics, cfg, ref, d_ext):
         vL = _shift(vA, axis, 1, -2)
         vR = _shift(vA, axis, 2, -1)
         q_f = jnp.sum(0.5 * (vL + vR) * s, axis=-1)      # u_f . S_f
+        vf = (metrics.vfI, metrics.vfJ, metrics.vfK)[axis]
+        if vf is not None:
+            # ALE: advect in the frame of the moving grid (reference
+            # subtracts sFace in the turbulence qs terms, turbUtils.F90)
+            q_f = q_f - jnp.sum(vf * s, axis=-1)
         ntA = nut[tuple(itx)]
         ntL = _shift(ntA, axis, 1, -2)
         ntR = _shift(ntA, axis, 2, -1)

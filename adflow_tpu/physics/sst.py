@@ -159,6 +159,10 @@ def sst_residual(w, p, metrics, cfg, ref, d_ext):
         vL = _shift(vA, axis, 1, -2)
         vR = _shift(vA, axis, 2, -1)
         q_f = jnp.sum(0.5 * (vL + vR) * s, axis=-1)
+        vf = (metrics.vfI, metrics.vfJ, metrics.vfK)[axis]
+        if vf is not None:
+            # ALE: advect in the moving-grid frame (see sa.py)
+            q_f = q_f - jnp.sum(vf * s, axis=-1)
         for iq, acc in ((IK, "k"), (IW, "w")):
             qA = w[tuple(itx)][..., iq]
             qL = _shift(qA, axis, 1, -2)
