@@ -274,12 +274,30 @@ def rk_iteration_sharded(w, metrics, prob: ShardedProblem, cfg: ProblemConfig,
     dtv = dt / metrics.vol[2:-2, 2:-2, 2:-2]
     por = prob.local_topo.blocks[0].por
 
+    # point-implicit SA destruction damping — identical per-cell-local
+    # treatment to smoothers.rk_iteration, so partition invariance holds
+    diag = None
+    nmf = 5
+    if cfg.rans and cfg.turbulence_model == "sa" and extras is not None:
+        from adflow_tpu.physics.sa import sa_destruction_diag
+        diag = sa_destruction_diag(w0, metrics, extras["walldist"])
+    inv_ts = None
+    if cfg.rans and any(s != 1.0 for s in cfg.turb_scales):
+        inv_ts = jnp.asarray([1.0 / s for s in cfg.turb_scales], w0.dtype)
+
     r0 = None
     wk = w0
     for alpha in coeffs:
         r = block_residual(wk, metrics, cfg, ref, extras, por=por)
         if r0 is None:
             r0 = r
+        if r.shape[-1] > nmf and (diag is not None or inv_ts is not None):
+            rt = r[..., nmf:]
+            if inv_ts is not None:
+                rt = rt * inv_ts
+            if diag is not None:
+                rt = rt / (1.0 + alpha * dtv * diag)[..., None]
+            r = jnp.concatenate([r[..., :nmf], rt], axis=-1)
         upd = w0[2:-2, 2:-2, 2:-2] - alpha * dtv[..., None] * r
         wk = fill_halos_sharded(
             w0.at[2:-2, 2:-2, 2:-2].set(upd), metrics, prob, ref, winf)

@@ -1,16 +1,30 @@
 """Wall-distance computation for turbulence models.
 
 Reference analogue: ``computeWallDistance``
-(`/root/reference/src/wallDistance/wallDistance.F90:129`): gather the global
-wall surface, build an ADT tree, Newton-refined nearest-point projection per
-cell. Here: the global wall surface is gathered as face-center quadrature
-points and distances are an exact min over point distances computed as one
-batched, chunked matmul-style reduction — the O(N*M) form is HBM/MXU
-friendly on TPU and removes the irregular tree search. A C++ ADT for
-huge surfaces plugs in behind the same interface (native/).
+(`/root/reference/src/wallDistance/wallDistance.F90:129,518`): gather the
+global wall surface, build an ADT tree, then Newton-refined nearest-point
+projection onto the bilinear wall quads per cell.
 
-``updateWallDistancesQuickly`` parity: distances are a pure function of
-(cell centers, wall points); re-call on mesh deformation.
+TPU-native design: the tree search is replaced by a two-stage batched
+reduction that keeps everything dense and matmul-shaped:
+
+1. candidate selection — squared distances from every cell center to every
+   wall-face center via the |a-b|^2 = |a|^2 - 2 a.b + |b|^2 expansion (one
+   big matmul, rides the MXU), then ``lax.top_k`` for the K nearest faces;
+2. exact projection — clamped Newton iteration projecting the cell center
+   onto each candidate bilinear quad (reference: minDistanceTreeSearch's
+   quad projection, wallDistance.F90:518), distances evaluated by DIRECT
+   subtraction so they stay accurate at machine precision.
+
+Stage 1 is allowed to be sloppy (f32 cancellation in the expansion form
+only perturbs candidate *ranking*; K=8 absorbs it); stage 2 never forms the
+catastrophic a^2-2ab+b^2 difference, so near-wall distances are exact —
+computing sqrt(a^2-2ab+b^2) directly in f32 returns 0 for first-cell
+centers (|x|^2 ~ 1e2, d^2 ~ 1e-10), which poisoned the SA destruction term
+with 1/d^2 -> 1e24.
+
+``updateWallDistancesQuickly`` parity: distances are a pure, differentiable
+function of (cell centers, wall quads); re-call on mesh deformation.
 """
 
 from __future__ import annotations
@@ -26,57 +40,148 @@ from adflow_tpu.geom.metrics import cell_centers
 from adflow_tpu.physics.surface import build_wall_patches
 
 
-def gather_wall_points(mesh: MultiBlockMesh, x_list) -> jnp.ndarray:
-    """Wall-face centers + corner nodes of all (viscous+slip) wall patches."""
-    patches = build_wall_patches(mesh, include=WALL_BCS)
-    pts = []
+def gather_wall_quads(mesh: MultiBlockMesh, x_list) -> jnp.ndarray:
+    """All wall-face corner quads, shape (M, 4, 3) ordered (a, b, c, d) with
+    u along a->b and v along a->d (bilinear parameterization). Viscous walls
+    if any exist, else all walls (Euler-wall meshes still get distances)."""
+    patches = build_wall_patches(mesh, include=VISCOUS_WALL_BCS)
+    if not patches:
+        patches = build_wall_patches(mesh, include=WALL_BCS)
+    quads = []
     for patch in patches:
-        # the face axis is dropped by fnode_sl: axes 0,1 are in-face
         xs = x_list[patch.block][patch.fnode_sl]
 
         def corner(d1, d2, xs=xs):
             return xs[d1:xs.shape[0] - 1 + d1, d2:xs.shape[1] - 1 + d2]
 
-        center = 0.25 * (corner(0, 0) + corner(1, 0)
-                         + corner(0, 1) + corner(1, 1))
-        pts.append(center.reshape(-1, 3))
-        pts.append(xs.reshape(-1, 3))
-    if not pts:
-        return jnp.zeros((0, 3))
-    return jnp.concatenate(pts)
+        q = jnp.stack([corner(0, 0), corner(1, 0), corner(1, 1),
+                       corner(0, 1)], axis=2)
+        quads.append(q.reshape(-1, 4, 3))
+    if not quads:
+        return jnp.zeros((0, 4, 3))
+    return jnp.concatenate(quads)
+
+
+def _project_points_quads(p, quads, n_newton: int = 10):
+    """Exact closest-point distance from points to bilinear quads.
+
+    p: (..., 3) points; quads: (..., 4, 3) matching batch. Returns (...,)
+    distances, minimizing |a + u e0 + v e1 + uv e2 - p|^2 over
+    (u, v) in [0,1]^2. Robust construction:
+
+    * the 4 edge restrictions are linear in the free parameter, so their
+      constrained minima are EXACT (clipped quadratic minimizers) — any
+      boundary minimum is found exactly;
+    * interior minima via clamped Newton from 5 starts (center + the 4 edge
+      minimizers pulled inward); degenerate (collapsed) quads are handled by
+      Tikhonov-regularizing the 2x2 Hessian;
+    * the answer is the pointwise min over all 9 candidates, so it never
+      exceeds the best edge solution.
+    """
+    a = quads[..., 0, :]
+    e0 = quads[..., 1, :] - a                      # u edge
+    e1 = quads[..., 3, :] - a                      # v edge
+    e2 = a - quads[..., 1, :] + quads[..., 2, :] - quads[..., 3, :]
+    rel = a - p
+    scale2 = (jnp.sum(e0 * e0, axis=-1) + jnp.sum(e1 * e1, axis=-1)
+              + 1e-300)
+    bshape = jnp.broadcast_shapes(p.shape[:-1], quads.shape[:-2])
+
+    def dist2(u, v):
+        r = (rel + u[..., None] * e0 + v[..., None] * e1
+             + (u * v)[..., None] * e2)
+        return jnp.sum(r * r, axis=-1)
+
+    def seg_min(base, d):
+        """argmin_t |base + t d|, clipped to [0,1] (exact for linear r)."""
+        t = -jnp.sum(base * d, axis=-1) / (jnp.sum(d * d, axis=-1) + 1e-300)
+        return jnp.clip(jnp.broadcast_to(t, bshape), 0.0, 1.0)
+
+    zero = jnp.zeros(bshape, p.dtype)
+    one = jnp.ones(bshape, p.dtype)
+    u_v0 = seg_min(rel, e0)                        # edge v=0
+    u_v1 = seg_min(rel + e1, e0 + e2)              # edge v=1
+    v_u0 = seg_min(rel, e1)                        # edge u=0
+    v_u1 = seg_min(rel + e0, e1 + e2)              # edge u=1
+    edge_uv = [(u_v0, zero), (u_v1, one), (zero, v_u0), (one, v_u1)]
+
+    def body(i, uv):
+        u, v = uv
+        xu = e0 + v[..., None] * e2
+        xv = e1 + u[..., None] * e2
+        r = (rel + u[..., None] * e0 + v[..., None] * e1
+             + (u * v)[..., None] * e2)
+        g0 = jnp.sum(r * xu, axis=-1)
+        g1 = jnp.sum(r * xv, axis=-1)
+        re2 = jnp.sum(r * e2, axis=-1)
+        h00 = jnp.sum(xu * xu, axis=-1)
+        h11 = jnp.sum(xv * xv, axis=-1)
+        h01 = jnp.sum(xu * xv, axis=-1) + re2
+        # regularize: keeps the step defined on collapsed quad edges
+        eps = 1e-12 * scale2
+        h00 = h00 + eps
+        h11 = h11 + eps
+        det = h00 * h11 - h01 * h01
+        det = jnp.where(jnp.abs(det) < 1e-30 * scale2 * scale2,
+                        1e-30 * scale2 * scale2, det)
+        du = (h11 * g0 - h01 * g1) / det
+        dv = (h00 * g1 - h01 * g0) / det
+        u = jnp.clip(u - du, 0.0, 1.0)
+        v = jnp.clip(v - dv, 0.0, 1.0)
+        return (u, v)
+
+    # Newton starts: center + edge minima pulled 25% inward
+    starts = [(jnp.full(bshape, 0.5, p.dtype), jnp.full(bshape, 0.5, p.dtype))]
+    for (su, sv) in edge_uv:
+        starts.append((0.75 * su + 0.125, 0.75 * sv + 0.125))
+    u0 = jnp.stack([s[0] for s in starts])
+    v0 = jnp.stack([s[1] for s in starts])
+    u, v = jax.lax.fori_loop(0, n_newton, body, (u0, v0))
+
+    best = jnp.min(dist2(u, v), axis=0)
+    for (su, sv) in edge_uv:
+        best = jnp.minimum(best, dist2(su, sv))
+    return jnp.sqrt(best)
 
 
 @jax.jit
-def _min_dist_chunked(xc: jnp.ndarray, wall: jnp.ndarray) -> jnp.ndarray:
-    """min_j ||xc_i - wall_j|| with |xc| x |wall| pairwise distances done via
-    the  |a-b|^2 = |a|^2 - 2 a.b + |b|^2  expansion (one big matmul -> MXU)."""
+def _nearest_quad_dist(xc: jnp.ndarray, quads: jnp.ndarray,
+                       centers: jnp.ndarray, k: int = 8) -> jnp.ndarray:
+    """min over wall quads of the exact projected distance, candidates by
+    top-k on the matmul-form center distances."""
+    k = min(k, centers.shape[0])
     a2 = jnp.sum(xc * xc, axis=-1, keepdims=True)
-    b2 = jnp.sum(wall * wall, axis=-1)[None, :]
-    d2 = a2 - 2.0 * (xc @ wall.T) + b2
-    return jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
+    b2 = jnp.sum(centers * centers, axis=-1)[None, :]
+    d2 = a2 - 2.0 * (xc @ centers.T) + b2          # sloppy: ranking only
+    _, idx = jax.lax.top_k(-d2, k)                 # (n, k)
+    cand = quads[idx]                              # (n, k, 4, 3)
+    d = _project_points_quads(xc[:, None, :], cand)
+    return jnp.min(d, axis=-1)
 
 
 def compute_wall_distances(mesh: MultiBlockMesh, x_list,
                            dtype=jnp.float32,
-                           chunk: int = 1 << 16) -> List[jnp.ndarray]:
+                           chunk: int = 1 << 15) -> List[jnp.ndarray]:
     """Per-block wall distance on the one-ring extended cell grid
     (ni+2, nj+2, nk+2) — the SA source term needs distances at halo cells
     adjacent to boundaries; edge padding supplies them."""
-    wall = gather_wall_points(mesh, x_list)
+    quads = gather_wall_quads(mesh, x_list)
+    quads = jnp.asarray(quads, dtype)
+    centers = jnp.mean(quads, axis=1) if quads.shape[0] else quads[:, 0]
     out = []
     for x in x_list:
         xc = cell_centers(jnp.asarray(x, dtype))
         shp = xc.shape[:3]
         flat = xc.reshape(-1, 3)
-        if wall.shape[0] == 0:
+        if quads.shape[0] == 0:
             d = jnp.full(flat.shape[0], 1e10, dtype)
         else:
             parts = []
             for s in range(0, flat.shape[0], chunk):
-                parts.append(_min_dist_chunked(
-                    flat[s:s + chunk], jnp.asarray(wall, dtype)))
+                parts.append(_nearest_quad_dist(
+                    flat[s:s + chunk], quads, centers))
             d = jnp.concatenate(parts)
         d = d.reshape(shp)
         d = jnp.pad(d, 1, mode="edge")
-        out.append(jnp.maximum(d, 1e-12))
+        out.append(jnp.maximum(d, 1e-14))
     return out

@@ -279,8 +279,8 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
         d_in = -nhat  # inflow along inward normal unless specified
         pi = jnp.minimum(pressure(wi), pt * 0.9999)
         tg = tt * (pi / pt) ** ((gamma - 1.0) / gamma)
-        v2 = jnp.maximum(2.0 * (tt - tg) / (gamma - 1.0), 0.0)
-        vmag = jnp.sqrt(v2)
+        v2 = jnp.maximum(2.0 * (tt - tg) / (gamma - 1.0), 1e-30)
+        vmag = jnp.sqrt(v2)   # floor > 0: sqrt'(0)=inf would NaN JVPs
         rho_g = gamma * pi / tg
         vg = vmag[..., None] * d_in
         rhoe = pi / (gamma - 1.0) + 0.5 * rho_g * v2

@@ -43,7 +43,11 @@ class ProblemConfig:
     limiter: str = "van albada"
     entropy_fix: float = 0.05
     turbulence_model: str = "sa"
-    turb_res_scale: float = 1.0
+    # turbulence residual row scaling (reference: turbResScale option,
+    # inputParam.F90:252/293, applied in sa.F90 saResScale:678). Float or
+    # per-variable tuple; see ``turb_scales``. Scaled rows balance the
+    # combined norm and the Newton system; explicit updates divide it back.
+    turb_res_scale: object = 1.0
     # coarse-MG-level mode: constant 2nd-difference dissipation only
     # (fluxes.F90 coarse variants, option vis2Coarse)
     coarse_level: bool = False
@@ -61,6 +65,16 @@ class ProblemConfig:
         if not self.rans:
             return 0
         return 1 if self.turbulence_model.startswith("sa") else 2
+
+    @property
+    def turb_scales(self) -> tuple:
+        """Per-turbulence-variable residual scale, length n_turb."""
+        s = self.turb_res_scale
+        t = (tuple(float(v) for v in s) if isinstance(s, (tuple, list))
+             else (float(s),))
+        while len(t) < self.n_turb:
+            t = t + (t[-1],)
+        return t[:self.n_turb]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,6 +49,23 @@ def eddy_viscosity(w, mu):
     return rho * nut * fv1
 
 
+def sa_destruction_diag(w, metrics, d_ext):
+    """Positive part of d(R_sa)/d(nuTilde) from the destruction term
+    (per-cell, includes the volume factor), for point-implicit treatment of
+    the stiff near-wall source in explicit smoothers. The reference avoids
+    this stiffness by solving turbulence implicitly (DD-ADI,
+    `/root/reference/src/turbulence/turbAPI.F90:4`); dividing the explicit
+    turbulence update by (1 + alpha dt/V * diag) is the pointwise-local,
+    partition-invariant equivalent. cw1*fw is upper-bounded by its maximum
+    (fw <= (1+cw3^6)^(1/6) ~ 2.0) — overdamping only slows the local
+    turbulence transient, never changes the converged state (R = 0)."""
+    it = (slice(2, -2),) * 3
+    nut_c = jnp.maximum(w[it][..., ITURB], 0.0)
+    d_c = jnp.maximum(d_ext[1:-1, 1:-1, 1:-1], 1e-12)
+    fw_max = (1.0 + CW3 ** 6) ** (1.0 / 6.0)
+    return 2.0 * CW1 * fw_max * nut_c / d_c ** 2 * metrics.vol[it]
+
+
 def sa_residual(w, p, metrics, cfg, ref, d_ext):
     """SA residual on the interior: (ni, nj, nk, 1), sign such that
     V d(nuT)/dt = -R. Halos of w filled; d_ext: wall distance on the
@@ -76,7 +93,11 @@ def sa_residual(w, p, metrics, cfg, ref, d_ext):
     wx = gu[..., 2, 1] - gu[..., 1, 2]
     wy = gu[..., 0, 2] - gu[..., 2, 0]
     wz = gu[..., 1, 0] - gu[..., 0, 1]
-    omega = jnp.sqrt(wx ** 2 + wy ** 2 + wz ** 2)
+    # guarded sqrt: d(sqrt)/dx -> inf at 0, and omega IS exactly 0 in
+    # uniform flow (freestream init) — the unguarded form NaN'd every
+    # Newton/adjoint JVP at startup
+    omega = jnp.sqrt(jnp.maximum(wx ** 2 + wy ** 2 + wz ** 2,
+                                 jnp.asarray(1e-32, dtype)))
     gnut = g_int[..., 3, :]
     gnut2 = jnp.sum(gnut * gnut, axis=-1)
 
@@ -142,6 +163,7 @@ def sa_residual(w, p, metrics, cfg, ref, d_ext):
     # int u.grad nuT = surface flux - nuT * div u)
     R = R - nut_c * q_div
 
-    if cfg.turb_res_scale != 1.0:
-        R = R * cfg.turb_res_scale
+    s = cfg.turb_scales[0]
+    if s != 1.0:
+        R = R * s
     return R[..., None]

@@ -45,13 +45,15 @@ def _vorticity(g_vel):
     wx = g_vel[..., 2, 1] - g_vel[..., 1, 2]
     wy = g_vel[..., 0, 2] - g_vel[..., 2, 0]
     wz = g_vel[..., 1, 0] - g_vel[..., 0, 1]
-    return jnp.sqrt(wx ** 2 + wy ** 2 + wz ** 2)
+    # guarded: sqrt has an infinite derivative at 0 and vorticity is exactly
+    # zero in uniform flow (freestream init) — unguarded this NaN'd JVPs
+    return jnp.sqrt(jnp.maximum(wx ** 2 + wy ** 2 + wz ** 2, 1e-32))
 
 
 def blending_f1(k, w_t, nu, d, cross_kw):
     """Menter F1 (SST.F90 blending): 1 near walls (k-w), 0 outside (k-eps)."""
     w_pos = jnp.maximum(w_t, W_FLOOR)
-    k_pos = jnp.maximum(k, 0.0)
+    k_pos = jnp.maximum(k, 1e-30)   # sqrt'(0) = inf: keep JVPs finite
     cd_kw = jnp.maximum(2.0 * SIGMA_W2 / w_pos * cross_kw, 1e-20)
     arg1 = jnp.minimum(
         jnp.maximum(jnp.sqrt(k_pos) / (BETA_STAR * w_pos * d),
@@ -62,7 +64,7 @@ def blending_f1(k, w_t, nu, d, cross_kw):
 
 def blending_f2(k, w_t, nu, d):
     w_pos = jnp.maximum(w_t, W_FLOOR)
-    k_pos = jnp.maximum(k, 0.0)
+    k_pos = jnp.maximum(k, 1e-30)   # sqrt'(0) = inf: keep JVPs finite
     arg2 = jnp.maximum(2.0 * jnp.sqrt(k_pos) / (BETA_STAR * w_pos * d),
                        500.0 * nu / (d ** 2 * w_pos))
     return jnp.tanh(arg2 ** 2)
@@ -189,7 +191,9 @@ def sst_residual(w, p, metrics, cfg, ref, d_ext):
     Rk = Rk + adv_k - k_c * q_div - diff_k
     Rw = Rw + adv_w - w_c * q_div - diff_w
 
-    if cfg.turb_res_scale != 1.0:
-        Rk = Rk * cfg.turb_res_scale
-        Rw = Rw * cfg.turb_res_scale
+    sk, sw = cfg.turb_scales[:2]
+    if sk != 1.0:
+        Rk = Rk * sk
+    if sw != 1.0:
+        Rw = Rw * sw
     return jnp.stack([Rk, Rw], axis=-1)

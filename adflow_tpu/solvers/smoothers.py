@@ -56,6 +56,58 @@ def residual_norms(r_list: Sequence[jnp.ndarray], n_mean: int = 5):
     return jnp.sqrt(s_mean), jnp.sqrt(s_turb)
 
 
+def dadi_iteration(w_list, metrics_list, topo: MeshTopology,
+                   cfg: ProblemConfig, ref, winf, cfl, extras_list=None):
+    """One diagonalized-ADI implicit smoother iteration on all blocks.
+
+    Reference analogue: ``DADISmoother`` / ``executeDADIStep``
+    (`/root/reference/src/solver/smoothers.F90:383,425`): solve
+    (D + A_i)(D + A_j)(D + A_k)-factored updates with D = V/dt, allowing
+    much higher CFL than explicit RK. Uses the scalar approximate
+    factorization operators from solvers/dadi.py. Same in/out contract as
+    rk_iteration (halos unfilled outside).
+    """
+    from adflow_tpu.physics.fluxes import spectral_radii
+    from adflow_tpu.physics.timestep import viscous_spectral_radii
+    from adflow_tpu.solvers.dadi import build_dadi_data, dadi_apply
+
+    w0_list = fill_halos(w_list, metrics_list, topo, ref, winf)
+    nmf = 5
+    inv_ts = None
+    if cfg.rans and any(s != 1.0 for s in cfg.turb_scales):
+        inv_ts = jnp.asarray([1.0 / s for s in cfg.turb_scales],
+                             w0_list[0].dtype)
+
+    r_list = [block_residual(w, m, cfg, ref,
+                             extras_list[i] if extras_list else None,
+                             por=topo.blocks[i].por)
+              for i, (w, m) in enumerate(zip(w0_list, metrics_list))]
+    new = []
+    for i, (w, m, r) in enumerate(zip(w0_list, metrics_list, r_list)):
+        p = pressure(w)
+        rI, rJ, rK = spectral_radii(w, jnp.maximum(p, 1e-10), m)
+        rs = (rI + rJ + rK)[1:-1, 1:-1, 1:-1]
+        if cfg.viscous:
+            rv = viscous_spectral_radii(w, m, cfg, ref)
+            rs = rs + 4.0 * (rv[0] + rv[1] + rv[2])
+        dtinv = rs / cfl                           # V/dt per cell
+        if r.shape[-1] > nmf:
+            rt = r[..., nmf:]
+            if inv_ts is not None:
+                rt = rt * inv_ts
+            if cfg.turbulence_model == "sa" and extras_list:
+                from adflow_tpu.physics.sa import sa_destruction_diag
+                diag = sa_destruction_diag(w, m,
+                                           extras_list[i]["walldist"])
+                rt = rt / (1.0 + diag / dtinv)[..., None]
+            r = jnp.concatenate([r[..., :nmf], rt], axis=-1)
+        data = build_dadi_data(w, m, cfg, ref, dtinv)
+        dz = dadi_apply(data, r)
+        upd = w[2:-2, 2:-2, 2:-2] - dz
+        new.append(w.at[2:-2, 2:-2, 2:-2].set(upd))
+    return new, r_list
+
+
 def rk_iteration(w_list, metrics_list, topo: MeshTopology, cfg: ProblemConfig,
                  ref, winf, cfl, extras_list=None,
                  coeffs: Sequence[float] = RK_COEFFS):
@@ -73,6 +125,23 @@ def rk_iteration(w_list, metrics_list, topo: MeshTopology, cfg: ProblemConfig,
         dt = local_timestep(w, p, m, cfl, cfg, ref)
         dt_list.append(dt / m.vol[2:-2, 2:-2, 2:-2])
 
+    # point-implicit diagonal for the stiff SA destruction term (frozen over
+    # the stages like dt); see sa.sa_destruction_diag for the rationale
+    diag_list = [None] * len(w0_list)
+    if cfg.rans and cfg.turbulence_model == "sa" and extras_list:
+        from adflow_tpu.physics.sa import sa_destruction_diag
+        diag_list = [
+            sa_destruction_diag(w, m, extras_list[i]["walldist"])
+            for i, (w, m) in enumerate(zip(w0_list, metrics_list))]
+
+    nmf = 5  # mean-flow channel count
+    # residuals come back with turbResScale-scaled turbulence rows (for
+    # norm/Newton balance); the explicit update must undo that scaling
+    inv_ts = None
+    if cfg.rans and any(s != 1.0 for s in cfg.turb_scales):
+        inv_ts = jnp.asarray([1.0 / s for s in cfg.turb_scales],
+                             w0_list[0].dtype)
+
     r0_list = None
     wk_list = w0_list
     for alpha in coeffs:
@@ -83,7 +152,14 @@ def rk_iteration(w_list, metrics_list, topo: MeshTopology, cfg: ProblemConfig,
         if r0_list is None:
             r0_list = r_list
         new = []
-        for w0, r, dtv in zip(w0_list, r_list, dt_list):
+        for w0, r, dtv, diag in zip(w0_list, r_list, dt_list, diag_list):
+            if r.shape[-1] > nmf and (diag is not None or inv_ts is not None):
+                rt = r[..., nmf:]
+                if inv_ts is not None:
+                    rt = rt * inv_ts
+                if diag is not None:
+                    rt = rt / (1.0 + alpha * dtv * diag)[..., None]
+                r = jnp.concatenate([r[..., :nmf], rt], axis=-1)
             upd = w0[2:-2, 2:-2, 2:-2] - alpha * dtv[..., None] * r
             new.append(w0.at[2:-2, 2:-2, 2:-2].set(upd))
         wk_list = fill_halos(new, metrics_list, topo, ref, winf)
