@@ -204,6 +204,14 @@ def _transposed_line_pc(nfns, wvec):
                 z = jnp.moveaxis(zl, 0, ax)
                 if i > 0:
                     z = z * data.dscalar[..., None]
+            if data.turb_scale is not None and z.shape[-1] > 5:
+                # forward PC is M = S*T (turbResScale rows); its transpose
+                # is T^T S, so M^-T v = S^-1 T^-T v — un-scale AFTER the
+                # transposed solves
+                inv = jnp.asarray(
+                    (1.0,) * 5 + tuple(1.0 / s for s in data.turb_scale),
+                    z.dtype)
+                z = z * inv
             out.append(z)
         return nfns.packer.pack(out)
 

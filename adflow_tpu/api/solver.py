@@ -33,6 +33,76 @@ from adflow_tpu.solvers.smoothers import residual_norms
 from adflow_tpu.utils.dtypes import resolve_dtype
 
 
+class _IterMonitor:
+    """Per-iteration convergence table driven by the ``monitorVariables``
+    option (reference: convergenceInfo, solvers.F90:1050-1238 — the Iter /
+    Iter Type / CFL / Res columns + monitored functions from
+    monitorVariables, extra/monitor.F90)."""
+
+    _KNOWN = ("cpu", "resrho", "resturb", "totalr", "cl", "cd", "cmx",
+              "cmy", "cmz", "cfl", "linres", "itertype")
+    _FUNC_VARS = ("cl", "cd", "cmx", "cmy", "cmz")
+
+    def __init__(self, solver, variables):
+        self.solver = solver
+        vl = []
+        for v in variables:
+            v = str(v).lower()
+            if v in self._KNOWN and v not in vl:
+                vl.append(v)
+        if "resrho" not in vl:
+            vl.insert(0, "resrho")
+        self.vars = vl
+        self.needs_state = any(v in self._FUNC_VARS for v in vl)
+        self.t0 = time.time()
+        self._header = False
+
+    def _functions(self, w_list):
+        s = self.solver
+        wf = fill_halos(w_list, s.metrics_list, s.topo, s.ref, s.winf)
+        ibl = [bs.iblank for bs in s.topo.blocks]
+        f = integrate_forces(wf, s.x_list, s.metrics_list, s.wall_patches,
+                             s.ref, s.cfg, iblank_list=ibl)
+        return cost_functions(f, s.ref)
+
+    def __call__(self, it, rm, rt, w_list=None, cfl=None, linres=None,
+                 itertype=""):
+        funcs = None
+        if self.needs_state and w_list is not None:
+            funcs = self._functions(w_list)
+        cols = []
+        if not self._header:
+            head = ["  iter", "type  "]
+            for v in self.vars:
+                head.append(f"{v:>12s}")
+            print(" ".join(head))
+            self._header = True
+        cols.append(f"{it:6d}")
+        cols.append(f"{itertype:<6s}")
+        for v in self.vars:
+            if v == "cpu":
+                cols.append(f"{time.time() - self.t0:12.3f}")
+            elif v == "resrho":
+                cols.append(f"{rm:12.6e}")
+            elif v == "resturb":
+                cols.append(f"{rt:12.6e}")
+            elif v == "totalr":
+                cols.append(f"{(rm ** 2 + rt ** 2) ** 0.5:12.6e}")
+            elif v == "cfl":
+                cols.append(f"{cfl:12.4g}" if cfl is not None
+                            else " " * 12)
+            elif v == "linres":
+                cols.append(f"{linres:12.4g}" if linres is not None
+                            else " " * 12)
+            elif v == "itertype":
+                cols.append(f"{itertype:>12s}")
+            elif funcs is not None and v in funcs:
+                cols.append(f"{float(funcs[v]):12.6f}")
+            else:
+                cols.append(" " * 12)
+        print(" ".join(cols))
+
+
 class ADFLOW:
     """TPU-native solver with the reference's Python API surface."""
 
@@ -62,6 +132,17 @@ class ADFLOW:
         self._check_volumes()
 
         eq = self.options["equationType"].lower()
+        # turbResScale: None -> model default, like _updateTurbResScale
+        # (reference: pyADflow.py:6574 — SA 1e4, SST [1e3, 1e-6])
+        trs = self.options["turbResScale"]
+        turb_model = self.options["turbulenceModel"].lower()
+        if trs is None:
+            trs = ((1e3, 1e-6) if turb_model == "sst"
+                   else 1e4 if eq == "rans" else 1.0)
+        elif isinstance(trs, (list, tuple)):
+            trs = tuple(float(v) for v in trs)
+        else:
+            trs = float(trs)
         self.cfg = ProblemConfig(
             equation_type=eq,
             vis2=float(self.options["vis2"]),
@@ -70,7 +151,10 @@ class ADFLOW:
             discretization=self.options["discretization"].lower(),
             limiter=self.options["limiter"].lower(),
             entropy_fix=float(self.options["entropyFix"]),
-            turbulence_model=self.options["turbulenceModel"].lower(),
+            turbulence_model=turb_model,
+            turb_res_scale=trs,
+            use_ft2=bool(self.options["useft2SA"]),
+            use_rotation_sa=bool(self.options["useRotationSA"]),
         )
         self.wall_patches = build_wall_patches(mesh)
         self.flow_patches = build_wall_patches(mesh,
@@ -157,8 +241,14 @@ class ADFLOW:
 
         monitor = None
         if opt["printIterations"]:
-            def monitor(it, rm, rt):
-                print(f"  iter {it:6d}  resrho {rm:12.6e}  resturb {rt:12.6e}")
+            mv = (opt["monitorVariables"] if opt["setMonitor"]
+                  else ["resrho", "resturb"])
+            monitor = _IterMonitor(self, mv)
+
+        # timeLimit option (reference: solvers.F90:1136-1150 — stop the
+        # solve when the wall-clock budget is exhausted)
+        tl = float(opt["timeLimit"])
+        deadline = (t0 + tl) if tl > 0.0 else None
 
         if opt["equationMode"].lower() == "unsteady":
             from adflow_tpu.solvers.unsteady import (
@@ -227,7 +317,8 @@ class ADFLOW:
             self.w_list, info = solve_newton_driver(
                 self.w_list, self.metrics_list, self.topo, self.cfg,
                 self.ref, self.winf, self.options,
-                extras_list=self.extras_list, monitor=monitor)
+                extras_list=self.extras_list, monitor=monitor,
+                deadline=deadline)
         elif str(opt["MGCycle"]).lower() not in ("sg", "none", ""):
             from adflow_tpu.solvers.multigrid import solve_mg
             self.w_list, info = solve_mg(
@@ -236,7 +327,12 @@ class ADFLOW:
                 cfl=float(opt["CFL"]), n_cycles=int(opt["nCycles"]),
                 l2_conv=float(opt["L2Convergence"]),
                 l2_conv_rel=float(opt["L2ConvergenceRel"]),
-                monitor=monitor, dtype=self.dtype)
+                monitor=monitor, dtype=self.dtype,
+                n_pre=int(opt["nMGFine"]), n_post=int(opt["nMGCoarse"]),
+                cfl_coarse=float(opt["CFLCoarse"]),
+                res_averaging=str(opt["resAveraging"]),
+                smooth_param=float(opt["smoothParameter"]),
+                deadline=deadline)
         else:
             self.w_list, info = steady.solve_rk(
                 self.w_list, self.metrics_list, self.topo, self.cfg,
@@ -244,7 +340,8 @@ class ADFLOW:
                 cfl=float(opt["CFL"]), n_cycles=int(opt["nCycles"]),
                 l2_conv=float(opt["L2Convergence"]),
                 l2_conv_rel=float(opt["L2ConvergenceRel"]),
-                extras_list=self.extras_list, monitor=monitor)
+                extras_list=self.extras_list, monitor=monitor,
+                smoother=str(opt["smoother"]), deadline=deadline)
         self.solve_info = info
         ap.solveFailed = bool(info.failed)
         ap.fatalFail = bool(info.failed)
@@ -725,6 +822,7 @@ class ADFLOW:
         sol = solve_adjoint_system(
             fns, self, wvec, xvec, params, dIdw, psi0=psi0,
             tol=float(self.options["adjointL2Convergence"]),
+            abs_tol=float(self.options["adjointL2ConvergenceRel"]),
             subspace=int(self.options["adjointSubspaceSize"]),
             restarts=max(1, int(self.options["adjointMaxIter"])
                          // max(int(self.options["adjointSubspaceSize"]), 1)))

@@ -80,7 +80,8 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "MGStartLevel": -1,
     "nMGFine": 1,                        # smoothing sweeps on the fine level
     "nMGCoarse": 1,
-    "resAveraging": "never",             # 'never' | 'always' | 'alternate'
+    "resAveraging": "alternate",         # 'never' | 'always' | 'alternate'
+                                         # (reference default: alternate)
     "smoothParameter": 1.5,
     "CFLLimit": 1.5,
     "rkReset": False,
@@ -194,14 +195,34 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
 # Options that are accepted but currently ignored (stored, no effect yet) —
 # kept so reference user scripts run unmodified. Everything used by the
 # solver is consumed explicitly; using an option in this set emits no error.
+# tests/test_options.py asserts every option NOT in this set has a consumer,
+# so an entry here is an honest "not implemented yet", never a silent no-op.
 _INERT_OPTIONS = {
     "numberSolutions", "printAllOptions", "writeSolutionDigits",
     "gridPrecision", "solutionPrecision", "oversetPriority",
-    "partitionLikeNProc", "loadImbalance", "loadBalanceIter", "setMonitor",
+    "partitionLikeNProc", "loadImbalance", "loadBalanceIter",
     "useOversetWallScaling", "selfZipCutoff", "backgroundVolScale",
-    "overlapFactor", "oversetLoadBalance", "alphaMode", "omegaFourier",
-    "useALE", "wallDistCutoff", "lowSpeedPreconditioner", "useWallFunctions",
+    "overlapFactor", "oversetLoadBalance", "alphaMode",
+    "useALE", "wallDistCutoff",
     "storeConvHist", "rkReset", "RKReset", "turbulenceOrder",
+    # --- pending features (tracked; remove from here when implemented) ---
+    "surfaceVariables", "volumeVariables",       # output variable menus
+    "flowType",                                   # internal-flow mode
+    "useQCR",                                     # SA-QCR stress correction
+    "useWallFunctions", "lowSpeedPreconditioner",
+    "coarseDiscretization", "MGStartLevel", "nCyclesCoarse",
+    "L2ConvergenceCoarse", "maxL2DeviationFactor",  # FMG start
+    "dissipationLumpingParameter", "riemannSolver",
+    "nSubiterTurb", "ANKJacobianLag", "ANKPCUpdateTol", "ANKStepMin",
+    "ANKConstCFLStep", "ANKSecondOrdSwitchTol", "ANKCoupledSwitchTol",
+    "ANKUseTurbDADI", "ANKUseMatrixFree", "ANKNSubiterTurb",
+    "NKJacobianLag", "NKFixedStep",
+    "adjointMonitorStep", "ADPC", "frozenTurbulence",
+    "applyAdjointPCSubspaceSize",
+    "useBlockettes", "usePallasResidual",         # pallas blockette path
+    "nearWallDist", "oversetProjTol", "useZipperMesh",
+    "partitionOnly", "meshDevices", "meshAxisName", "blockPadding",
+    "haloExchangeMode", "deterministicReductions",
 }
 
 _DEPRECATED_OPTIONS = {

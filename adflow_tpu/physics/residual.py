@@ -48,6 +48,10 @@ class ProblemConfig:
     # per-variable tuple; see ``turb_scales``. Scaled rows balance the
     # combined norm and the Newton system; explicit updates divide it back.
     turb_res_scale: object = 1.0
+    # SA variants (reference: useft2SA / useRotationSA options,
+    # inputPhysics.F90; sa.F90 source terms)
+    use_ft2: bool = True
+    use_rotation_sa: bool = False
     # coarse-MG-level mode: constant 2nd-difference dissipation only
     # (fluxes.F90 coarse variants, option vis2Coarse)
     coarse_level: bool = False
@@ -75,6 +79,17 @@ class ProblemConfig:
         while len(t) < self.n_turb:
             t = t + (t[-1],)
         return t[:self.n_turb]
+
+    def row_scale(self, dtype=None):
+        """(nw,) per-channel residual row scale [1]*5 + turb_scales, or None
+        when no scaling is active. Any term added to the scaled residual
+        outside block_residual (pseudo-time diagonals, BDF/time-spectral
+        time terms, PC rows) must be multiplied by this so the combined
+        system stays an exact row-scaling of the physical equations."""
+        if self.n_turb == 0 or all(s == 1.0 for s in self.turb_scales):
+            return None
+        import jax.numpy as _jnp
+        return _jnp.asarray((1.0,) * 5 + self.turb_scales, dtype)
 
 
 @dataclasses.dataclass(frozen=True)

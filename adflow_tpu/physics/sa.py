@@ -98,6 +98,20 @@ def sa_residual(w, p, metrics, cfg, ref, d_ext):
     # Newton/adjoint JVP at startup
     omega = jnp.sqrt(jnp.maximum(wx ** 2 + wy ** 2 + wz ** 2,
                                  jnp.asarray(1e-32, dtype)))
+    if cfg.use_rotation_sa:
+        # Dacles-Mariani rotation correction (reference useRotationSA,
+        # sa.F90 / turbUtils.F90): S = omega + 2 min(0, |strain| - |vort|)
+        sxx = gu[..., 0, 0]
+        syy = gu[..., 1, 1]
+        szz = gu[..., 2, 2]
+        sxy = 0.5 * (gu[..., 0, 1] + gu[..., 1, 0])
+        sxz = 0.5 * (gu[..., 0, 2] + gu[..., 2, 0])
+        syz = 0.5 * (gu[..., 1, 2] + gu[..., 2, 1])
+        strain2 = 2.0 * (sxy ** 2 + sxz ** 2 + syz ** 2) \
+            + sxx ** 2 + syy ** 2 + szz ** 2
+        strain = jnp.sqrt(jnp.maximum(2.0 * strain2,
+                                      jnp.asarray(1e-32, dtype)))
+        omega = omega + 2.0 * jnp.minimum(0.0, strain - omega)
     gnut = g_int[..., 3, :]
     gnut2 = jnp.sum(gnut * gnut, axis=-1)
 
@@ -112,8 +126,8 @@ def sa_residual(w, p, metrics, cfg, ref, d_ext):
     # limiter) keeping it differentiable
     s_tilde = jnp.maximum(s_tilde, 0.3 * omega + 1e-16)
 
-    ft2 = CT3 * jnp.exp(-CT4 * chi ** 2) if cfg.turbulence_model == "sa" \
-        else 0.0
+    ft2 = (CT3 * jnp.exp(-CT4 * chi ** 2)
+           if (cfg.use_ft2 and cfg.turbulence_model == "sa") else 0.0)
 
     r = jnp.minimum(nut_pos * inv_k2d2 / s_tilde, 10.0)
     g_fw = r + CW2 * (r ** 6 - r)

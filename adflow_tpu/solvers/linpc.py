@@ -95,6 +95,9 @@ class LinePCData(NamedTuple):
     mean: list      # [(L, D, U)] per axis, arrays (n_ax, other..., 5, 5)
     turb: list      # [(lt, dt, ut)] per axis or None
     dscalar: jnp.ndarray  # (ni,nj,nk) full diagonal for inter-factor scaling
+    # per-turb-variable turbResScale: the system's turbulence rows are
+    # scaled by s, so PC = s*T and PC^-1 v = T^-1 (v/s)
+    turb_scale: Optional[tuple] = None
 
 
 def build_line_pc(w, metrics, cfg, ref, dtinv, axes=(1,),
@@ -188,8 +191,11 @@ def build_line_pc(w, metrics, cfg, ref, dtinv, axes=(1,),
         else:
             turb_ops.append(None)
 
+    ts = cfg.turb_scales if (nw > 5 and cfg.rans) else None
+    if ts is not None and all(s == 1.0 for s in ts):
+        ts = None
     return LinePCData(axes=tuple(axes), mean=mean_ops, turb=turb_ops,
-                      dscalar=dscalar)
+                      dscalar=dscalar, turb_scale=ts)
 
 
 def line_pc_apply(data: LinePCData, v):
@@ -202,6 +208,12 @@ def line_pc_apply(data: LinePCData, v):
     from adflow_tpu.solvers.dadi import tridiag_solve
 
     z = v
+    if data.turb_scale is not None and v.shape[-1] > 5:
+        # PC = S*T on the scaled turbulence rows: un-scale the input once,
+        # then apply the unscaled factors
+        inv = jnp.asarray((1.0,) * 5 + tuple(1.0 / s for s in
+                                             data.turb_scale), v.dtype)
+        z = z * inv
     for i, ax in enumerate(data.axes):
         if i > 0:
             z = z * data.dscalar[..., None]

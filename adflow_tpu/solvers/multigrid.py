@@ -190,12 +190,17 @@ def rk_smooth(w_list, level: MGLevel, cfg, ref, winf, cfl, f_list=None,
             dt = local_timestep(w, p, m, cfl, cfg, ref)
             dt_list.append(dt / m.vol[2:-2, 2:-2, 2:-2])
         wk = w0
+        rsv = cfg.row_scale(w0[0].dtype)
+        inv_rsv = None if rsv is None else 1.0 / rsv
         for alpha in coeffs:
             r_list = _forced_residual(wk, level, cfg, ref, f_list)
             if r_first is None:
                 r_first = r_list
             if irs_eps > 0.0:
                 r_list = [residual_averaging(r, irs_eps) for r in r_list]
+            if inv_rsv is not None:
+                # turbResScale rows: explicit update needs physical residual
+                r_list = [r * inv_rsv for r in r_list]
             new = [w0b.at[2:-2, 2:-2, 2:-2].set(
                        w0b[2:-2, 2:-2, 2:-2] - alpha * dtv[..., None] * r)
                    for w0b, r, dtv in zip(w0, r_list, dt_list)]
@@ -239,11 +244,18 @@ def _clamped_add(w, cor, max_rel: float = 0.2):
 def fas_cycle(w_list, levels: List[MGLevel], cfg, ref, winf, cfl,
               lev: int = 0, f_list=None, cycle: str = "v",
               n_pre: int = 1, n_post: int = 1, n_coarsest: int = 4,
-              damp: float = 1.0, irs_eps: float = 0.0):
+              damp: float = 1.0, irs_eps: float = 0.0,
+              cfl_coarse: float = None):
     """One recursive FAS V/W-cycle starting at level `lev` (static unroll)."""
     level = levels[lev]
     cfg_l = _level_cfg(cfg, lev)
-    cfl_l = cfl if lev == 0 else cfl * CFL_COARSE_FACTOR
+    if cfl_coarse is None:
+        cfl_l = cfl if lev == 0 else cfl * CFL_COARSE_FACTOR
+    else:
+        # CFLCoarse option (reference inputIteration cflCoarse): absolute
+        # coarse-level CFL; the constant-dissipation coarse scheme still
+        # needs the stage-stability reduction
+        cfl_l = cfl if lev == 0 else cfl_coarse * CFL_COARSE_FACTOR
     if lev == len(levels) - 1:
         w_list, r = rk_smooth(w_list, level, cfg_l, ref, winf, cfl_l,
                               f_list, n_iter=n_coarsest, irs_eps=irs_eps)
@@ -273,7 +285,7 @@ def fas_cycle(w_list, levels: List[MGLevel], cfg, ref, winf, cfl,
     for _ in range(n_visits):
         wc, _ = fas_cycle(wc, levels, cfg, ref, winf, cfl, lev + 1, f_c,
                           cycle, n_pre, n_post, n_coarsest, damp,
-                          irs_eps)
+                          irs_eps, cfl_coarse)
 
     # prolong correction (damped + physicality-clamped), post-smooth
     new = []
@@ -298,18 +310,31 @@ def parse_mg_cycle(spec: str):
 def solve_mg(w_list, mesh: MultiBlockMesh, x_list, topo, cfg, ref, winf,
              mg_cycle: str = "3w", cfl: float = 1.5, n_cycles: int = 500,
              l2_conv: float = 1e-8, l2_conv_rel: float = 1e-16,
-             monitor=None, chunk: int = 5, dtype=None):
+             monitor=None, chunk: int = 5, dtype=None,
+             n_pre: int = 1, n_post: int = 1, cfl_coarse: float = None,
+             res_averaging: str = "always", smooth_param: float = 1.5,
+             deadline=None):
     """MG-cycle driver to steady state (solvers.F90 solveState MG branch).
+
+    n_pre/n_post: nMGFine/nMGCoarse smoothing sweeps; res_averaging +
+    smooth_param: implicit residual smoothing (reference resAveraging /
+    smoothParameter, inputIteration.F90) — eps = smoothParameter - 1 so the
+    reference default 1.5 gives the classical eps=0.5.
     Returns (w_list, SolveInfo)."""
+    import time as _time
     from adflow_tpu.solvers.steady import SolveInfo
 
     n_levels, ctype = parse_mg_cycle(mg_cycle)
     levels = build_mg_levels(mesh, x_list, cfg, n_levels, dtype)
+    irs_eps = (0.0 if str(res_averaging).lower() == "never"
+               else max(float(smooth_param) - 1.0, 0.0))
 
     def one(carry, _):
         w_list, cfl_v = carry
         w_list, r = fas_cycle(w_list, levels, cfg, ref, winf, cfl_v,
-                              cycle=ctype, irs_eps=0.5)
+                              cycle=ctype, irs_eps=irs_eps,
+                              n_pre=n_pre, n_post=n_post,
+                              cfl_coarse=cfl_coarse)
         nm, nt = residual_norms(r)
         return (w_list, cfl_v), jnp.stack([nm, nt])
 
@@ -338,6 +363,8 @@ def solve_mg(w_list, mesh: MultiBlockMesh, x_list, topo, cfg, ref, winf,
             break
         if rnow <= l2_conv * r0 or rnow <= l2_conv_rel:
             converged = True
+            break
+        if deadline is not None and _time.time() >= deadline:
             break
     hist_np = np.concatenate(hist_all) if hist_all else np.zeros((0, 2))
     info = SolveInfo(

@@ -86,6 +86,7 @@ class NewtonFns(NamedTuple):
     make_precond: Callable        # (wvec, cfl) -> v -> M^-1 v  (line PC)
     collect_pc_data: Callable     # (wvec, cfl) -> [LinePCData] per block
     packer: Packer
+    row_scale_vec: Optional[jnp.ndarray] = None  # (nw,) turbResScale rows
 
 
 def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
@@ -144,7 +145,8 @@ def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
 
     return NewtonFns(res_flat=res_flat, rad_sum_cells=rad_sum_cells,
                      make_precond=make_precond,
-                     collect_pc_data=collect_pc_data, packer=packer)
+                     collect_pc_data=collect_pc_data, packer=packer,
+                     row_scale_vec=cfg.row_scale(template_w_list[0].dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +190,9 @@ def make_ank_step(fns: NewtonFns, opts):
     m = int(opts["ANKSubspaceSize"])
     if m <= 0:
         m = 50
+    # ANKMaxIter (reference ank_maxIter): cap on Krylov iterations per step
+    m = min(m, max(int(opts["ANKMaxIter"]), 1))
+    turb_cfl_scale = float(opts["ANKTurbCFLScale"])
     lintol = float(opts["ANKLinearSolveTol"])
     phys_tol = float(opts["ANKPhysicalLSTol"])
     phys_tol_turb = float(opts["ANKPhysicalLSTolTurb"])
@@ -199,9 +204,20 @@ def make_ank_step(fns: NewtonFns, opts):
         r = fns.res_flat(wvec)
         rnorm = jnp.linalg.norm(r)
         _, rs_list = fns.rad_sum_cells(wvec)
+        # residual turbulence rows carry turbResScale; the pseudo-time
+        # diagonal must carry the same row scale so (D + J) dw = -R is an
+        # exact row scaling of the unscaled backward-Euler system.
+        # ANKTurbCFLScale (reference ANK_turbcflscale): turbulence rows
+        # march at cfl * scale — their diagonal divides by the scale.
+        rsv = fns.row_scale_vec
+        chan = jnp.ones((fns.packer.nw,), wvec.dtype)
+        if rsv is not None:
+            chan = chan * rsv
+        if turb_cfl_scale != 1.0 and fns.packer.nw > 5:
+            chan = chan.at[5:].divide(turb_cfl_scale)
         diag = fns.packer.pack([
             jnp.broadcast_to((rs / cfl)[..., None],
-                             rs.shape + (fns.packer.nw,))
+                             rs.shape + (fns.packer.nw,)) * chan
             for rs in rs_list])
 
         def matvec(v):
@@ -294,11 +310,21 @@ def make_nk_step(fns: NewtonFns, opts):
 # ---------------------------------------------------------------------------
 
 def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
-                        extras_list=None, monitor=None):
+                        extras_list=None, monitor=None,
+                        deadline: Optional[float] = None):
+    import time as _time
     fns = build_newton_fns(w_list, metrics_list, topo, cfg, ref, winf,
                            extras_list)
     wvec = fns.packer.pack_w(w_list)
     dtype = wvec.dtype
+
+    def _mon(it, rnorm, rt, cfl=None, linres=None, itertype=""):
+        if monitor is None:
+            return
+        kw = dict(cfl=cfl, linres=linres, itertype=itertype)
+        if getattr(monitor, "needs_state", False):
+            kw["w_list"] = fns.packer.unpack_into(wvec, w_list)
+        monitor(it, rnorm, rt, **kw)
 
     # convergence is measured against the FREE-STREAM residual norm
     # (reference: getFreeStreamResidual -> totalR0, solvers.F90:972), not the
@@ -331,7 +357,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             w_list, metrics_list, topo, cfg, ref, winf,
             cfl=float(opts["CFL"]), n_cycles=n_cycles,
             l2_conv=rk_target / max(r0, 1e-300),
-            extras_list=extras_list, monitor=monitor, total_r0=r0)
+            extras_list=extras_list, monitor=monitor, total_r0=r0,
+            smoother=str(opts["smoother"]), deadline=deadline)
         wvec = fns.packer.pack_w(w_list)
         hist.append(info.history)
         it += info.iterations
@@ -358,6 +385,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         while it < n_cycles and rnorm > target and not failed:
             if use_nk and rnorm <= nk_switch:
                 break
+            if deadline is not None and _time.time() >= deadline:
+                break
             wnew, rn, rnew, alpha, kiters, linres, umerit = ank_step(
                 wvec, jnp.asarray(cfl, dtype))
             rnew_f = float(rnew)
@@ -383,8 +412,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             if rnorm < best_r:
                 best_w, best_r = wvec, rnorm
             hist.append(np.array([[rnorm, 0.0]]))
-            if monitor:
-                monitor(it, rnorm, 0.0)
+            _mon(it, rnorm, 0.0, cfl=cfl, linres=linres_f, itertype="ANK")
             # CFL controller (reference: ANKLinResMax gating + SER ramp):
             # grow only when the linear solve met its tolerance, back off
             # when it degraded past ANKLinResMax
@@ -406,6 +434,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         eta = eta_max
         r_prev = rnorm
         while it < n_cycles and rnorm > target and not failed:
+            if deadline is not None and _time.time() >= deadline:
+                break
             wnew, rn, rnew, alpha, kiters, linres = nk_step(
                 wvec, jnp.asarray(eta, dtype))
             rnew_f = float(rnew)
@@ -417,8 +447,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             rnorm = rnew_f
             it += 1
             hist.append(np.array([[rnorm, 0.0]]))
-            if monitor:
-                monitor(it, rnorm, 0.0)
+            _mon(it, rnorm, 0.0, linres=float(linres), itertype="NK")
             if use_ew:
                 # Eisenstat-Walker choice 2 (reference getEWTol:1606)
                 eta = min(eta_max,

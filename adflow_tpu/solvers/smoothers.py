@@ -61,22 +61,21 @@ def dadi_iteration(w_list, metrics_list, topo: MeshTopology,
     """One diagonalized-ADI implicit smoother iteration on all blocks.
 
     Reference analogue: ``DADISmoother`` / ``executeDADIStep``
-    (`/root/reference/src/solver/smoothers.F90:383,425`): solve
-    (D + A_i)(D + A_j)(D + A_k)-factored updates with D = V/dt, allowing
-    much higher CFL than explicit RK. Uses the scalar approximate
-    factorization operators from solvers/dadi.py. Same in/out contract as
-    rk_iteration (halos unfilled outside).
+    (`/root/reference/src/solver/smoothers.F90:383,425`): factored implicit
+    update (D + A_i)(D + A_j)(D + A_k) dz = R with D = V/dt, allowing much
+    higher CFL than explicit RK. TPU-native design: the factors are the
+    line-implicit operators of solvers/linpc.py — EXACT signed 5x5 flux
+    Jacobians with spectral-radius splitting per direction, solved by
+    batched block-Thomas (the unsigned scalar model in solvers/dadi.py is a
+    valid GMRES preconditioner but diverges as a Richardson smoother on
+    convective problems). Same in/out contract as rk_iteration (halos
+    unfilled outside); scaled turbulence rows handled by the PC itself.
     """
     from adflow_tpu.physics.fluxes import spectral_radii
     from adflow_tpu.physics.timestep import viscous_spectral_radii
-    from adflow_tpu.solvers.dadi import build_dadi_data, dadi_apply
+    from adflow_tpu.solvers.linpc import build_line_pc, line_pc_apply
 
     w0_list = fill_halos(w_list, metrics_list, topo, ref, winf)
-    nmf = 5
-    inv_ts = None
-    if cfg.rans and any(s != 1.0 for s in cfg.turb_scales):
-        inv_ts = jnp.asarray([1.0 / s for s in cfg.turb_scales],
-                             w0_list[0].dtype)
 
     r_list = [block_residual(w, m, cfg, ref,
                              extras_list[i] if extras_list else None,
@@ -91,18 +90,15 @@ def dadi_iteration(w_list, metrics_list, topo: MeshTopology,
             rv = viscous_spectral_radii(w, m, cfg, ref)
             rs = rs + 4.0 * (rv[0] + rv[1] + rv[2])
         dtinv = rs / cfl                           # V/dt per cell
-        if r.shape[-1] > nmf:
-            rt = r[..., nmf:]
-            if inv_ts is not None:
-                rt = rt * inv_ts
-            if cfg.turbulence_model == "sa" and extras_list:
-                from adflow_tpu.physics.sa import sa_destruction_diag
-                diag = sa_destruction_diag(w, m,
-                                           extras_list[i]["walldist"])
-                rt = rt / (1.0 + diag / dtinv)[..., None]
-            r = jnp.concatenate([r[..., :nmf], rt], axis=-1)
-        data = build_dadi_data(w, m, cfg, ref, dtinv)
-        dz = dadi_apply(data, r)
+        if r.shape[-1] > 5 and cfg.turbulence_model == "sa" and extras_list:
+            # fold the stiff SA destruction diagonal into the turbulence
+            # rows (the PC's turb operator has only advection + dt)
+            from adflow_tpu.physics.sa import sa_destruction_diag
+            diag = sa_destruction_diag(w, m, extras_list[i]["walldist"])
+            rt = r[..., 5:] / (1.0 + diag / dtinv)[..., None]
+            r = jnp.concatenate([r[..., :5], rt], axis=-1)
+        data = build_line_pc(w, m, cfg, ref, dtinv, axes=(0, 1, 2))
+        dz = line_pc_apply(data, r)
         upd = w[2:-2, 2:-2, 2:-2] - dz
         new.append(w.at[2:-2, 2:-2, 2:-2].set(upd))
     return new, r_list

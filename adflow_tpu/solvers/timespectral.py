@@ -106,6 +106,7 @@ def solve_time_spectral(w_inst, metrics_list, topo: MeshTopology,
                 rq.append(r)
             r_inst.append(rq)
         # add spectral coupling: per block, einsum over instances
+        rsv = cfg.row_scale(w_inst[0][0].dtype)
         out = []
         for q in range(n):
             rq = []
@@ -113,8 +114,12 @@ def solve_time_spectral(w_inst, metrics_list, topo: MeshTopology,
                 vol = metrics_list[i].vol[2:-2, 2:-2, 2:-2][..., None]
                 acc = sum(D[q, r] * w_inst[r][i][2:-2, 2:-2, 2:-2]
                           for r in range(n))
-                rq.append(r_inst[q][i]
-                          + vol * acc[..., :r_inst[q][i].shape[-1]])
+                acc = acc[..., :r_inst[q][i].shape[-1]]
+                if rsv is not None:
+                    # match the turbResScale rows of block_residual so the
+                    # spectral system is an exact row scaling
+                    acc = acc * rsv
+                rq.append(r_inst[q][i] + vol * acc)
             out.append(rq)
         return out
 
@@ -146,10 +151,15 @@ def solve_time_spectral(w_inst, metrics_list, topo: MeshTopology,
             dts.append(dq)
         wk = w0
         r_first = None
+        rsv = cfg.row_scale(w0[0][0].dtype)
+        inv_rsv = None if rsv is None else 1.0 / rsv
         for alpha in RK_COEFFS:
             r = ts_residual(wk)
             if r_first is None:
                 r_first = r
+            if inv_rsv is not None:
+                # explicit update marches the PHYSICAL residual
+                r = [[rb * inv_rsv for rb in rq] for rq in r]
             new = []
             for q in range(n):
                 nq = [w0[q][i].at[2:-2, 2:-2, 2:-2].set(

@@ -50,6 +50,7 @@ def unsteady_residual_list(w_list, wn_list, wnm1_list, metrics_list,
     (residuals.F90 initres_block BDF terms)."""
     c0, c1, c2 = coefs
     wf = fill_halos(w_list, metrics_list, topo, ref, winf)
+    rsv = cfg.row_scale(w_list[0].dtype)
     out = []
     for i, (w, m) in enumerate(zip(wf, metrics_list)):
         ex = extras_list[i] if extras_list else None
@@ -57,8 +58,13 @@ def unsteady_residual_list(w_list, wn_list, wnm1_list, metrics_list,
         vol = m.vol[2:-2, 2:-2, 2:-2][..., None]
         acc = (c0 * w[2:-2, 2:-2, 2:-2]
                + c1 * wn_list[i][2:-2, 2:-2, 2:-2]
-               + c2 * wnm1_list[i][2:-2, 2:-2, 2:-2])
-        out.append(r + vol / dt * acc[..., :r.shape[-1]])
+               + c2 * wnm1_list[i][2:-2, 2:-2, 2:-2])[..., :r.shape[-1]]
+        if rsv is not None:
+            # turbulence rows of R carry turbResScale — scale the BDF time
+            # term identically so R* = S * (V/dt acc + R) row-scales the
+            # physical unsteady equations (same zero set)
+            acc = acc * rsv
+        out.append(r + vol / dt * acc)
     return out
 
 
@@ -89,6 +95,8 @@ def make_dual_time_step(metrics_list, topo, cfg, ref, winf, dt,
                 dt_list.append(jnp.minimum(dtl, 0.75 * dt) / vol)
             wk = w0
             r_first = None
+            rsv = cfg.row_scale(w0[0].dtype)
+            inv_rsv = None if rsv is None else 1.0 / rsv
             for alpha in RK_COEFFS:
                 c = jax.lax.cond(first_step, lambda: jnp.asarray(coefs1),
                                  lambda: jnp.asarray(coefs))
@@ -97,6 +105,9 @@ def make_dual_time_step(metrics_list, topo, cfg, ref, winf, dt,
                     winf, dt, (c[0], c[1], c[2]), extras_list)
                 if r_first is None:
                     r_first = r_list
+                if inv_rsv is not None:
+                    # explicit pseudo-update needs the PHYSICAL residual
+                    r_list = [r * inv_rsv for r in r_list]
                 wk = [w0b.at[2:-2, 2:-2, 2:-2].set(
                           w0b[2:-2, 2:-2, 2:-2]
                           - alpha * dtv[..., None] * r)
@@ -152,10 +163,13 @@ def solve_unsteady_explicit_rk(w_list, metrics_list, topo, cfg, ref, winf,
 
     def rhs(w_list):
         wf = fill_halos(w_list, metrics_list, topo, ref, winf)
+        rsv = cfg.row_scale(w_list[0].dtype)
         out = []
         for i, (w, m) in enumerate(zip(wf, metrics_list)):
             ex = extras_list[i] if extras_list else None
             r = block_residual(w, m, cfg, ref, ex, por=topo.blocks[i].por)
+            if rsv is not None:
+                r = r / rsv    # physical residual for explicit marching
             vol = m.vol[2:-2, 2:-2, 2:-2][..., None]
             out.append(-r / vol)
         return out
