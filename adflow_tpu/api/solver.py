@@ -155,6 +155,8 @@ class ADFLOW:
             turb_res_scale=trs,
             use_ft2=bool(self.options["useft2SA"]),
             use_rotation_sa=bool(self.options["useRotationSA"]),
+            use_pallas=bool(self.options["useBlockettes"])
+            and jax.default_backend() == "tpu",
         )
         self.wall_patches = build_wall_patches(mesh)
         self.flow_patches = build_wall_patches(mesh,
@@ -453,7 +455,7 @@ class ADFLOW:
                  "Mach": np.linalg.norm(vel, axis=-1) / np.sqrt(
                      1.4 * p / rho),
                  "CoefPressure": (p - self.ref.p_inf) / max(self.ref.q_inf,
-                                                            1e-300)}
+                                                            1e-30)}
             if self.cfg.n_turb == 1:
                 d["TurbulentSANuTilde"] = wi[..., 5]
             elif self.cfg.n_turb == 2:
@@ -483,7 +485,7 @@ class ADFLOW:
                 from adflow_tpu.physics.thermo import pressure as _pr
                 p_face = 0.5 * (np.asarray(_pr(w[patch.int_sl]))
                                 + np.asarray(_pr(w[patch.ghost_sl])))
-                cp = (p_face - self.ref.p_inf) / max(self.ref.q_inf, 1e-300)
+                cp = (p_face - self.ref.p_inf) / max(self.ref.q_inf, 1e-30)
                 n1, n2 = x.shape[:2]
                 f.write(f'ZONE T="patch{pi}" I={n1} J={n2} '
                         f'DATAPACKING=BLOCK, VARLOCATION=([4]=CELLCENTERED)\n')
@@ -619,7 +621,7 @@ class ADFLOW:
         axis2 = np.asarray(axis2, float)
         axvec = axis2 - axis1
         length = float(np.linalg.norm(axvec))
-        axhat = axvec / max(length, 1e-300)
+        axhat = axvec / max(length, 1e-30)
         if self.extras_list is None:
             self.extras_list = [{} for _ in self.mesh.blocks]
         # total volume of captured cells (for uniform distribution)
@@ -657,12 +659,12 @@ class ADFLOW:
                 rad = np.maximum(np.linalg.norm(rvec, axis=-1), 1e-12)
                 that = np.cross(np.broadcast_to(axhat, rvec.shape), rvec)
                 that /= np.maximum(
-                    np.linalg.norm(that, axis=-1, keepdims=True), 1e-300)
+                    np.linalg.norm(that, axis=-1, keepdims=True), 1e-30)
                 # torque T = sum f_t * r * V -> f_t = T / (sum r^2 V / r)...
                 # uniform tangential force per volume weighted by radius
                 w_r = rad * vol
                 denom = float((w_r[mask_v] * rad[mask_v]).sum())
-                f_t = torque / max(denom, 1e-300)
+                f_t = torque / max(denom, 1e-30)
                 src[..., 1:4] += (mask_v[..., None]
                                   * (f_t * rad)[..., None] * that
                                   * vol[..., None])
@@ -714,8 +716,8 @@ class ADFLOW:
                 self.ref.t_inf_dim))
             k = mu / (PR_LAMINAR * (GAMMA - 1.0))
             vol = np.asarray(m.vol[patch.int_sl])
-            dn = vol / np.maximum(smag, 1e-300)
-            q = k * (ti - tg) / np.maximum(dn, 1e-300)   # dT/dn into wall
+            dn = vol / np.maximum(smag, 1e-30)
+            q = k * (ti - tg) / np.maximum(dn, 1e-30)   # dT/dn into wall
             out.append((q * smag).reshape(-1))
         return np.concatenate(out) if out else np.zeros(0)
 

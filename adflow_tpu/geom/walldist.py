@@ -84,7 +84,7 @@ def _project_points_quads(p, quads, n_newton: int = 10):
     e2 = a - quads[..., 1, :] + quads[..., 2, :] - quads[..., 3, :]
     rel = a - p
     scale2 = (jnp.sum(e0 * e0, axis=-1) + jnp.sum(e1 * e1, axis=-1)
-              + 1e-300)
+              + 1e-30)
     bshape = jnp.broadcast_shapes(p.shape[:-1], quads.shape[:-2])
 
     def dist2(u, v):
@@ -94,7 +94,7 @@ def _project_points_quads(p, quads, n_newton: int = 10):
 
     def seg_min(base, d):
         """argmin_t |base + t d|, clipped to [0,1] (exact for linear r)."""
-        t = -jnp.sum(base * d, axis=-1) / (jnp.sum(d * d, axis=-1) + 1e-300)
+        t = -jnp.sum(base * d, axis=-1) / (jnp.sum(d * d, axis=-1) + 1e-30)
         return jnp.clip(jnp.broadcast_to(t, bshape), 0.0, 1.0)
 
     zero = jnp.zeros(bshape, p.dtype)

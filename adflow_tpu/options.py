@@ -55,6 +55,11 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "wallDistCutoff": 1e20,
     "lowSpeedPreconditioner": False,
 
+    # Pallas blockette perf path for the central+JST residual (reference:
+    # useBlockettes, doc/options.yaml:492; active on TPU backends only —
+    # CPU runs would hit the slow interpreter).
+    "useBlockettes": True,
+
     # Discretization
     "discretization": "central plus scalar dissipation",
     # 'central plus scalar dissipation' | 'central plus matrix dissipation'

@@ -116,7 +116,7 @@ def _outward_normals(metrics, op: BCOp):
     n = op.sign * s[op.face_sl]
     n = jnp.pad(n, (op.pad[0], op.pad[1], (0, 0)), mode="edge")
     mag = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    return n / jnp.maximum(mag, 1e-300)
+    return n / jnp.maximum(mag, 1e-30)
 
 
 def _face_velocity(metrics, op: BCOp):
@@ -154,7 +154,7 @@ def apply_bcs(w, metrics, ops: Sequence[BCOp], ref: ReferenceState,
             smag = jnp.pad(smag, (op.pad[0], op.pad[1]), mode="edge")
             vol1 = metrics.vol[op.mirror[0]]
             aux = dict(aux or {})
-            aux["dn"] = vol1 / jnp.maximum(smag, 1e-300)
+            aux["dn"] = vol1 / jnp.maximum(smag, 1e-30)
         for d in range(H):
             wi = w[op.mirror[d]]
             wg = _ghost_state(op, wi, nhat, ref, winf, layer=d, aux=aux)

@@ -55,6 +55,10 @@ class ProblemConfig:
     # coarse-MG-level mode: constant 2nd-difference dissipation only
     # (fluxes.F90 coarse variants, option vis2Coarse)
     coarse_level: bool = False
+    # Pallas blockette perf path for the central+JST mean-flow residual
+    # (reference: useBlockettes option, NKSolver/blockette.F90:70); primal
+    # only — derivatives route through the jnp twin via custom_jvp.
+    use_pallas: bool = False
 
     @property
     def viscous(self) -> bool:
@@ -203,6 +207,16 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
         r = inviscid_residual(w, p, metrics, 0.0, 0.0, cfg.diss_exponent,
                               por=por)
         r = r + matrix_dissipation_residual(w, p, metrics, cfg, por=por)
+    elif (cfg.use_pallas and not cfg.coarse_level and por is not None
+          and metrics.vfIE is None and w.dtype == jnp.float32):
+        # fused Pallas blockette (ops/pallas_residual.py): one VMEM pass
+        # over i-slabs instead of XLA's HBM-materialised stencil chain
+        from adflow_tpu.ops.pallas_residual import fused_inviscid_residual
+        r = fused_inviscid_residual(
+            w[..., :5], p, metrics.siE, metrics.sjE, metrics.skE,
+            jnp.asarray(por[0], w.dtype), jnp.asarray(por[1], w.dtype),
+            jnp.asarray(por[2], w.dtype),
+            cfg.vis2, cfg.vis4, cfg.diss_exponent)
     else:
         r = inviscid_residual(w, p, metrics, cfg.vis2, cfg.vis4,
                               cfg.diss_exponent, por=por,

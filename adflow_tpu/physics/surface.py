@@ -141,9 +141,9 @@ def integrate_forces(w_list, x_list, metrics_list,
             t_i = temperature(wi)
             mu = laminar_viscosity(t_i, ref.mu_inf, ref.t_inf_dim)
             smag = jnp.linalg.norm(s_out, axis=-1)
-            nhat = s_out / jnp.maximum(smag, 1e-300)[..., None]
+            nhat = s_out / jnp.maximum(smag, 1e-30)[..., None]
             vol_i = m.vol[patch.int_sl]
-            dn = vol_i / jnp.maximum(smag, 1e-300)      # cell height
+            dn = vol_i / jnp.maximum(smag, 1e-30)      # cell height
             vt = v_i - jnp.sum(v_i * nhat, axis=-1, keepdims=True) * nhat
             tau = mu[..., None] * vt / (0.5 * dn)[..., None]
             dfv = -tau * smag[..., None]
@@ -231,7 +231,7 @@ def wall_sensors(w_list, metrics_list, patches: Sequence[WallPatch],
                                 * (sdot - SEP_SENSOR_OFFSET))))
         wg = w[patch.ghost_sl]
         p_face = 0.5 * (pressure(wi) + pressure(wg))
-        cp = (p_face - ref.p_inf) / jnp.maximum(ref.q_inf, 1e-300)
+        cp = (p_face - ref.p_inf) / jnp.maximum(ref.q_inf, 1e-30)
         # cavitation: area where -Cp exceeds the cavitation number
         cav = cav + jnp.sum(
             da / (1.0 + jnp.exp(-2.0 * SEP_SENSOR_SHARPNESS
@@ -240,7 +240,7 @@ def wall_sensors(w_list, metrics_list, patches: Sequence[WallPatch],
         area = area + jnp.sum(da)
     out = {"sepsensor": sep, "cavitation": cav, "area": area}
     if patches:
-        out["cpmin_exact"] = -jnp.log(cp_ks / jnp.maximum(area, 1e-300)) \
+        out["cpmin_exact"] = -jnp.log(cp_ks / jnp.maximum(area, 1e-30)) \
             / CAVITATION_RHO
     return out
 
@@ -293,8 +293,8 @@ def flow_through(w_list, metrics_list, patches: Sequence[WallPatch],
         a_pt = a_pt + jnp.sum(da * pt)
         a_ps = a_ps + jnp.sum(da * p)
         area = area + jnp.sum(da)
-    safe_m = jnp.where(jnp.abs(mdot) > 1e-300, mdot, 1.0)
-    safe_a = jnp.maximum(area, 1e-300)
+    safe_m = jnp.where(jnp.abs(mdot) > 1e-30, mdot, 1.0)
+    safe_a = jnp.maximum(area, 1e-30)
     return {
         "flow_mdot": mdot,
         "flow_mavgptot": m_pt / safe_m,

@@ -112,7 +112,7 @@ def roe_flux(qL, qR, svec, entropy_fix: float = 0.05):
     (trailing 3, NOT normalized). Returns flux . S (trailing 5).
     """
     smag = jnp.linalg.norm(svec, axis=-1)
-    smag_safe = jnp.maximum(smag, 1e-300)
+    smag_safe = jnp.maximum(smag, 1e-30)
     nhat = svec / smag_safe[..., None]
     gm1 = GAMMA - 1.0
 
@@ -192,7 +192,7 @@ def roe_abs_jacobian_apply(qL, qR, svec, dw, eps_acoustic: float = 0.25,
     floors the dissipation vanishes near stagnation/sonic points and the
     scheme odd-even decouples (solver stalls)."""
     smag = jnp.linalg.norm(svec, axis=-1)
-    nhat = svec / jnp.maximum(smag, 1e-300)[..., None]
+    nhat = svec / jnp.maximum(smag, 1e-30)[..., None]
     gm1 = GAMMA - 1.0
 
     rhoL, rhoR = qL[..., 0], qR[..., 0]

@@ -102,7 +102,7 @@ def _face_gradient(g, phi, xc, axis, it):
     phR = _shift(phA, axis, 2, -1)
 
     delta = xR - xL
-    dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-300)
+    dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-30)
     ehat = delta / jnp.sqrt(dist2)[..., None]
     dphi_de = (phR - phL) / jnp.sqrt(dist2)[..., None]
     g_e = jnp.sum(gbar * ehat[..., None, :], axis=-1)

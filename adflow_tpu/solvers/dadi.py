@@ -46,8 +46,8 @@ def tridiag_solve(lower, diag, upper, rhs):
         cp_prev, dp_prev = carry
         a, b, c, d = xs
         denom = b - a * cp_prev
-        denom = jnp.where(jnp.abs(denom) < 1e-300,
-                          jnp.sign(denom) * 1e-300 + 1e-300, denom)
+        denom = jnp.where(jnp.abs(denom) < 1e-30,
+                          jnp.sign(denom) * 1e-30 + 1e-30, denom)
         cp = c / denom
         dp = (d - a[..., None] * dp_prev) / denom[..., None]
         return (cp, dp), (cp, dp)

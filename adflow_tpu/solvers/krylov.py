@@ -40,12 +40,18 @@ def _identity(v):
 
 def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
           m: int = 30, restarts: int = 1, tol: float = 1e-2,
-          atol: float = 0.0, precond: Optional[Callable] = None
-          ) -> GmresResult:
+          atol: float = 0.0, precond: Optional[Callable] = None,
+          axis_name: Optional[str] = None) -> GmresResult:
     """Solve A x = b with restarted GMRES(m).
 
     matvec: v -> A v on flat vectors; precond: v -> M^-1 v (right PC).
     tol is relative to ||b||. All control flow is traced (jit-safe).
+
+    ``axis_name``: when set, ``b``/vectors are SHARD-LOCAL pieces of a
+    global vector inside a shard_map over that mesh axis; every inner
+    product / norm is completed with a psum so the Arnoldi process (and
+    hence the small replicated H) is identical on all shards — the
+    distributed-KSP behaviour of the reference's PETSc solves.
     """
     Minv = precond or _identity
     n = b.shape[0]
@@ -53,20 +59,33 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
-    b_norm = jnp.linalg.norm(b)
+    if axis_name is None:
+        def _gdot(A, v):      # rows of A . v (A: (m+1, n) or (n,))
+            return A @ v
+
+        def _gnorm(v):
+            return jnp.linalg.norm(v)
+    else:
+        def _gdot(A, v):
+            return jax.lax.psum(A @ v, axis_name)
+
+        def _gnorm(v):
+            return jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis_name))
+
+    b_norm = _gnorm(b)
     target = jnp.maximum(tol * b_norm, atol)
 
     def cycle(carry):
         x, _, total_iters, _ = carry
         r0 = b - matvec(x)
-        beta = jnp.linalg.norm(r0)
+        beta = _gnorm(r0)
 
         V = jnp.zeros((m + 1, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        V = V.at[0].set(r0 / jnp.maximum(beta, 1e-300))
+        V = V.at[0].set(r0 / jnp.maximum(beta, 1e-30))
 
         def arnoldi_cond(st):
             V, H, cs, sn, g, k = st
@@ -78,13 +97,13 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
             w = matvec(Minv(v_k))
             # CGS2: h = V w; w -= V^T h; one re-orth pass
             mask = (jnp.arange(m + 1) <= k).astype(dtype)
-            h1 = (V @ w) * mask
+            h1 = _gdot(V, w) * mask
             w = w - V.T @ h1
-            h2 = (V @ w) * mask
+            h2 = _gdot(V, w) * mask
             w = w - V.T @ h2
             h = h1 + h2
-            hk1 = jnp.linalg.norm(w)
-            V2 = V.at[k + 1].set(w / jnp.maximum(hk1, 1e-300))
+            hk1 = _gnorm(w)
+            V2 = V.at[k + 1].set(w / jnp.maximum(hk1, 1e-30))
 
             # apply stored Givens rotations to the new column
             col = h.at[k + 1].set(hk1)[: m + 1]
@@ -101,8 +120,8 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
             col = jax.lax.fori_loop(0, m, rot_body, col)
             # new rotation zeroing col[k+1]
             denom = jnp.sqrt(col[k] ** 2 + col[k + 1] ** 2)
-            ck = jnp.where(denom > 0, col[k] / jnp.maximum(denom, 1e-300), 1.0)
-            sk = jnp.where(denom > 0, col[k + 1] / jnp.maximum(denom, 1e-300),
+            ck = jnp.where(denom > 0, col[k] / jnp.maximum(denom, 1e-30), 1.0)
+            sk = jnp.where(denom > 0, col[k + 1] / jnp.maximum(denom, 1e-30),
                            0.0)
             col = col.at[k].set(denom).at[k + 1].set(0.0)
             g2 = g.at[k + 1].set(-sk * g[k]).at[k].set(ck * g[k])

@@ -235,8 +235,8 @@ def _clamped_add(w, cor, max_rel: float = 0.2):
     |d rhoE|/rhoE stay under max_rel (the ANK physicalityCheck idea,
     NKSolvers.F90:3013, applied to MG corrections)."""
     wi = w[2:-2, 2:-2, 2:-2]
-    lim_rho = jnp.abs(cor[..., 0]) / (max_rel * jnp.abs(wi[..., 0]) + 1e-300)
-    lim_e = jnp.abs(cor[..., 4]) / (max_rel * jnp.abs(wi[..., 4]) + 1e-300)
+    lim_rho = jnp.abs(cor[..., 0]) / (max_rel * jnp.abs(wi[..., 0]) + 1e-30)
+    lim_e = jnp.abs(cor[..., 4]) / (max_rel * jnp.abs(wi[..., 4]) + 1e-30)
     scale = 1.0 / jnp.maximum(1.0, jnp.maximum(lim_rho, lim_e))
     return w.at[2:-2, 2:-2, 2:-2].add(scale[..., None] * cor)
 

@@ -246,8 +246,8 @@ def make_ank_step(fns: NewtonFns, opts):
         wnew = wvec + alpha * sol.x
         rnew = jnp.linalg.norm(fns.res_flat(wnew))
         return (wnew, rnorm, rnew, alpha, sol.iters,
-                sol.res_norm / jnp.maximum(sol.b_norm, 1e-300),
-                mnew / jnp.maximum(rnorm, 1e-300))
+                sol.res_norm / jnp.maximum(sol.b_norm, 1e-30),
+                mnew / jnp.maximum(rnorm, 1e-30))
 
     return ank_step
 
@@ -300,7 +300,7 @@ def make_nk_step(fns: NewtonFns, opts):
             (alpha, _), _ = jax.lax.scan(body, (alpha0, f0), None, length=4)
         wnew = wvec + alpha * sol.x
         rnew = jnp.linalg.norm(fns.res_flat(wnew))
-        return wnew, rnorm, rnew, alpha, sol.iters, sol.res_norm / jnp.maximum(sol.b_norm, 1e-300)
+        return wnew, rnorm, rnew, alpha, sol.iters, sol.res_norm / jnp.maximum(sol.b_norm, 1e-30)
 
     return nk_step
 
@@ -334,7 +334,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
          for d in fns.packer.block_dims])
     r_free = float(jnp.linalg.norm(fns.res_flat(winf_vec)))
     rnorm = float(jnp.linalg.norm(fns.res_flat(wvec)))
-    r0 = max(r_free, 1e-300)
+    r0 = max(r_free, 1e-30)
     l2conv = float(opts["L2Convergence"]) * r0
     l2abs = float(opts["L2ConvergenceRel"])
     target = max(l2conv, l2abs)
@@ -356,7 +356,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         w_list, info = steady.solve_rk(
             w_list, metrics_list, topo, cfg, ref, winf,
             cfl=float(opts["CFL"]), n_cycles=n_cycles,
-            l2_conv=rk_target / max(r0, 1e-300),
+            l2_conv=rk_target / max(r0, 1e-30),
             extras_list=extras_list, monitor=monitor, total_r0=r0,
             smoother=str(opts["smoother"]), deadline=deadline)
         wvec = fns.packer.pack_w(w_list)
@@ -420,7 +420,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                 cfl = max(cfl * cutback, cfl_min)
             elif linres_f <= 1.5 * lintol:
                 cfl = min(
-                    float(opts["ANKCFL0"]) * (r_ank0 / max(rnorm, 1e-300))
+                    float(opts["ANKCFL0"]) * (r_ank0 / max(rnorm, 1e-30))
                     ** cfl_exp,
                     cfl * cfl_factor, cfl_limit)
                 cfl = max(cfl, cfl_min)
@@ -451,7 +451,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             if use_ew:
                 # Eisenstat-Walker choice 2 (reference getEWTol:1606)
                 eta = min(eta_max,
-                          0.9 * (rnorm / max(r_prev, 1e-300)) ** ew_exp)
+                          0.9 * (rnorm / max(r_prev, 1e-30)) ** ew_exp)
                 eta = max(eta, 1e-8)
 
     w_list = fns.packer.unpack_into(wvec, w_list)

@@ -95,3 +95,46 @@ def test_partition_invariance(equation_type):
     scale = np.maximum(np.abs(w_glob).max(axis=(0, 1, 2)), 1e-12)
     err = np.max(np.abs(w_glob - w_shard) / scale)
     assert err < 1e-12, f"{equation_type}: sharded mismatch rel err {err}"
+
+
+def _ank_adjoint(mesh, cfg, ref, winf, x, d, n_shards):
+    """One distributed ANK step + adjoint matvec on an n-shard mesh."""
+    from adflow_tpu.dist.sharded_newton import make_sharded_ank_adjoint_step
+
+    devs = np.array(jax.devices()[:n_shards])
+    device_mesh = Mesh(devs, axis_names=("z",))
+    prob = build_sharded_problem(mesh, n_shards=n_shards)
+    w_stack, d_stack = shard_arrays(mesh, prob, winf, x.dtype,
+                                    None if d is None else np.asarray(d))
+    metrics_stack = split_metrics(compute_metrics(x), n_shards)
+    sh = NamedSharding(device_mesh, P("z"))
+    w_stack = jax.device_put(w_stack, sh)
+    metrics_stack = jax.device_put(metrics_stack, sh)
+    if d_stack is not None:
+        d_stack = jax.device_put(d_stack, sh)
+    step = jax.jit(make_sharded_ank_adjoint_step(prob, cfg, ref, device_mesh,
+                                                 cfl=5.0))
+    w_new, stats = step(w_stack, metrics_stack, jnp.asarray(winf), d_stack)
+    w_np = np.asarray(w_new)[:, 2:-2, 2:-2, 2:-2]
+    return (np.concatenate([w_np[s] for s in range(n_shards)], axis=2),
+            np.asarray(stats))
+
+
+@pytest.mark.parametrize("equation_type", ["euler", "rans"])
+def test_ank_adjoint_partition_invariance(equation_type):
+    """Distributed ANK step + adjoint matvec: 4-shard result must match the
+    1-shard run of the identical program (psum'd GMRES Arnoldi must be
+    partition-independent; reference analogue: parallel PETSc KSP giving
+    rank-count-independent results)."""
+    mesh, cfg, ref, winf, x, d = _setup(equation_type)
+    w1, s1 = _ank_adjoint(mesh, cfg, ref, winf, x, d, 1)
+    w4, s4 = _ank_adjoint(mesh, cfg, ref, winf, x, d, N_SHARDS)
+    assert np.all(np.isfinite(w4)), f"{equation_type}: sharded ANK diverged"
+    assert np.all(np.isfinite(s4)), f"stats: {s4}"
+    scale = np.maximum(np.abs(w1).max(axis=(0, 1, 2)), 1e-12)
+    err = np.max(np.abs(w1 - w4) / scale)
+    # GMRES accumulates rounding differently across partitions; f64 keeps
+    # the gap tiny but not bitwise
+    assert err < 1e-8, f"{equation_type}: ANK partition mismatch {err}"
+    assert abs(s1[3] - s4[3]) / max(abs(s1[3]), 1e-300) < 1e-8, (
+        f"adjoint matvec norm mismatch: {s1[3]} vs {s4[3]}")
