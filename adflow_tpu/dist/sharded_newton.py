@@ -110,26 +110,40 @@ def sharded_ank_step(wvec, metrics, prob: ShardedProblem, cfg: ProblemConfig,
     def precond(v):
         return line_pc_apply(pc, v.reshape(ni, nj, nk, nw)).reshape(-1)
 
-    sol = gmres(matvec, -r, m=m, restarts=1, tol=lintol, precond=precond,
+    sol = gmres(matvec, -r, m=m, restarts=2, tol=lintol, precond=precond,
                 axis_name=ax)
 
     # physicality limit with a GLOBAL (pmax-reduced) alpha so every shard
     # applies the identical under-relaxation
     dw = sol.x.reshape(ni, nj, nk, nw)
     wi = wvec.reshape(ni, nj, nk, nw)
-    alpha = jnp.asarray(1.0, wvec.dtype)
+    alpha0 = jnp.asarray(1.0, wvec.dtype)
     for idx in (IRHO, IRHOE):
         rel = jnp.max(jnp.abs(dw[..., idx])
                       / jnp.maximum(jnp.abs(wi[..., idx]), 1e-12))
         rel = jax.lax.pmax(rel, ax)
-        alpha = jnp.minimum(alpha, 0.2 / jnp.maximum(rel, 0.2))
+        alpha0 = jnp.minimum(alpha0, 0.2 / jnp.maximum(rel, 0.2))
     if nw > 5:
         # keep turbulence working variables from being driven far negative
         # (physicalityCheckANK turb rows, NKSolvers.F90:3013)
         neg = jnp.max(-dw[..., 5]
                       / jnp.maximum(jnp.abs(wi[..., 5]), 1e-12))
         neg = jax.lax.pmax(neg, ax)
-        alpha = jnp.minimum(alpha, 0.99 / jnp.maximum(neg, 0.99))
+        alpha0 = jnp.minimum(alpha0, 0.99 / jnp.maximum(neg, 0.99))
+
+    # backtracking on the UNSTEADY (backward-Euler) residual, exactly as the
+    # single-device make_ank_step (newton.py): the globally-reduced merit
+    # ||D a dw + R(w + a dw)|| is identical on every shard, so each shard
+    # picks the same alpha (reference: computeUnsteadyResANK,
+    # NKSolvers.F90:2614). Unrolled 3-candidate search (no vmap: the halo
+    # ppermute inside res_flat stays unbatched).
+    def unsteady_merit(a):
+        return gnorm(diag * (a * sol.x) + res_flat(wvec + a * sol.x, metrics))
+
+    alphas = [alpha0, 0.5 * alpha0, 0.25 * alpha0]
+    merits = jnp.stack([unsteady_merit(a) for a in alphas])
+    best = jnp.argmin(jnp.where(jnp.isfinite(merits), merits, jnp.inf))
+    alpha = jnp.stack(alphas)[best]
 
     wnew = wvec + alpha * sol.x
     rnew = gnorm(res_flat(wnew, metrics))

@@ -195,6 +195,27 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
     Returns (ni, nj, nk, nw): net outflow flux per interior cell (the
     semi-discrete system is V dw/dt = -R).
     """
+    # fully fused Pallas RANS blockette (ops/pallas_rans.py): all 6 channels
+    # (central+JST + viscous + SA + row scale) in one VMEM pass — the
+    # complete blocketteRes pipeline (blockette.F90:70). Falls through to
+    # the composed path for configs the kernel doesn't cover.
+    if (cfg.use_pallas and cfg.rans and cfg.turbulence_model == "sa"
+            and not cfg.use_rotation_sa and not cfg.coarse_level
+            and cfg.discretization.startswith("central")
+            and "matrix" not in cfg.discretization
+            and por is not None and metrics.vfIE is None
+            and w.dtype == jnp.float32
+            and extras is not None and "walldist" in extras
+            and "act_src" not in extras):
+        from adflow_tpu.ops.pallas_rans import fused_rans_residual
+        return fused_rans_residual(
+            w, metrics.siE, metrics.sjE, metrics.skE, metrics.vol,
+            metrics.xc_ext, extras["walldist"],
+            jnp.asarray(por[0], w.dtype), jnp.asarray(por[1], w.dtype),
+            jnp.asarray(por[2], w.dtype),
+            cfg.vis2, cfg.vis4, cfg.diss_exponent,
+            ref.mu_inf, ref.t_inf_dim, cfg.use_ft2, cfg.turb_scales[0])
+
     p = pressure(w)
     if cfg.discretization.startswith("upwind"):
         from adflow_tpu.physics.upwind import upwind_residual

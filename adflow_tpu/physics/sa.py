@@ -131,6 +131,12 @@ def sa_residual(w, p, metrics, cfg, ref, d_ext):
 
     r = jnp.minimum(nut_pos * inv_k2d2 / s_tilde, 10.0)
     g_fw = r + CW2 * (r ** 6 - r)
+    # fw saturates at (1+cw3^6)^(1/6) ~ 2.0 for large g (fw(100) differs by
+    # <1e-10), but the JVP of g^6 is 6 g^5 dg: at the r=10 clip g ~ 3e5 and
+    # Krylov/adjoint tangents of a few e13 push 6 g^5 dg past f32 max
+    # (~1.2e42 -> inf -> NaN). Clamping g bounds the tangent without
+    # changing fw to f32 precision (round-2 multichip dryrun NaN).
+    g_fw = jnp.minimum(g_fw, 100.0)
     fw = g_fw * ((1.0 + CW3 ** 6) / (g_fw ** 6 + CW3 ** 6)) ** (1.0 / 6.0)
 
     prod = CB1 * (1.0 - ft2) * s_tilde * nut_c

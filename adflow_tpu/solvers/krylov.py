@@ -89,7 +89,12 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
 
         def arnoldi_cond(st):
             V, H, cs, sn, g, k = st
-            return jnp.logical_and(k < m, jnp.abs(g[k]) > target)
+            # stop on non-finite g[k] too: an overflowed/NaN Arnoldi state
+            # would otherwise run to k=m with sk=0 rotations and report an
+            # exactly-0.0 residual (the round-2 "linres=0.0" breakdown)
+            return jnp.logical_and(
+                jnp.logical_and(k < m, jnp.abs(g[k]) > target),
+                jnp.isfinite(g[k]))
 
         def arnoldi_body(st):
             V, H, cs, sn, g, k = st
