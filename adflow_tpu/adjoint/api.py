@@ -136,7 +136,8 @@ def build_adjoint_fns(solver) -> AdjointFns:
         # (fringe/hole-masked) functional the primal evalFunctions reports
         ibl = [bs.iblank for bs in topo.blocks]
         f = integrate_forces(w_list, x_list, metrics_list, wall_patches,
-                             ref, cfg, iblank_list=ibl)
+                             ref, cfg, iblank_list=ibl,
+                             extras_list=extras_list)
         return cost_functions(f, ref)
 
     return AdjointFns(res=res, funcs=funcs, pack_x=pack_x,

@@ -62,7 +62,8 @@ class _IterMonitor:
         wf = fill_halos(w_list, s.metrics_list, s.topo, s.ref, s.winf)
         ibl = [bs.iblank for bs in s.topo.blocks]
         f = integrate_forces(wf, s.x_list, s.metrics_list, s.wall_patches,
-                             s.ref, s.cfg, iblank_list=ibl)
+                             s.ref, s.cfg, iblank_list=ibl,
+                             extras_list=s.extras_list)
         return cost_functions(f, s.ref)
 
     def __call__(self, it, rm, rt, w_list=None, cfl=None, linres=None,
@@ -370,7 +371,7 @@ class ADFLOW:
         ibl = [bs.iblank for bs in self.topo.blocks]
         f = integrate_forces(wf, self.x_list, self.metrics_list,
                              self.wall_patches, self.ref, self.cfg,
-                             iblank_list=ibl)
+                             iblank_list=ibl, extras_list=self.extras_list)
         f.update(wall_sensors(wf, self.metrics_list, self.wall_patches,
                               self.ref, iblank_list=ibl))
         if self.flow_patches:
@@ -584,11 +585,16 @@ class ADFLOW:
         return a1
 
     def getForces(self, groupName: Optional[str] = None):
-        """Nodal surface forces, cell-face force distributed 1/4 to each
-        face node (reference: warping/getForces.F90:2 with the
-        surfaceCellCenterToNode transfer)."""
+        """Nodal surface forces (pressure + full-gradient viscous traction),
+        cell-face force distributed 1/4 to each face node (reference:
+        warping/getForces.F90:2 with the surfaceCellCenterToNode
+        transfer; viscous part from the viscSubface stress —
+        surfaceIntegrations.F90:406)."""
+        from adflow_tpu.core.mesh import VISCOUS_WALL_BCS
+        from adflow_tpu.physics.surface import wall_viscous_tractions
         wf = self._filled_w()
         out = []
+        visc_cache = {}
         from adflow_tpu.physics.thermo import pressure as _pr
         for patch in self.wall_patches:
             w = wf[patch.block]
@@ -598,6 +604,12 @@ class ADFLOW:
             p_face = 0.5 * (np.asarray(_pr(w[patch.int_sl]))
                             + np.asarray(_pr(w[patch.ghost_sl])))
             df = (p_face - self.ref.p_inf)[..., None] * s_out
+            if patch.bc in VISCOUS_WALL_BCS and self.cfg.viscous:
+                ex = (self.extras_list[patch.block]
+                      if self.extras_list is not None else None)
+                df = df + np.asarray(wall_viscous_tractions(
+                    w, m, self.cfg, self.ref, patch, extras=ex,
+                    cache=visc_cache))
             n1 = df.shape[0] + 1
             n2 = df.shape[1] + 1
             nodal = np.zeros((n1, n2, 3))
@@ -1066,7 +1078,8 @@ class ADFLOW:
                                      self.metrics_list, patches, self.ref,
                                      self.cfg,
                                      iblank_list=[bs.iblank for bs
-                                                  in self.topo.blocks])
+                                                  in self.topo.blocks],
+                                     extras_list=self.extras_list)
                 out[name] = float(cost_functions(f, self.ref)[fname])
         return out
 

@@ -100,6 +100,16 @@ def _kernel(ni, nk, ti, vis2, vis4, expo, mu_inf, t_inf_dim, use_ft2,
 
     f32 = jnp.float32
 
+    if _STAGE < 1:                    # bisection stub: DMA in/out only
+        for c in range(6):
+            oS[c] = wS[c][2:-2, 2:-2] + volS[2:-2, 2:-2] \
+                + xcS[0][1:-1, 1:-1] + dS[1:-1, 1:-1]
+        outc = pltpu.make_async_copy(oS, out.at[:, pl.ds(i0, ti)],
+                                     sems.at[10])
+        outc.start()
+        outc.wait()
+        return
+
     # ---- derived cell fields on the full slab (ti+4, nj+4, kp), PC lanes --
     rho = wS[0]
     mx, my, mz, rhoE = wS[1], wS[2], wS[3], wS[4]

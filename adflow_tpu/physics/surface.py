@@ -103,15 +103,48 @@ def patch_iblank_mask(iblank_list, patch):
     return ibp[patch.int_sl][..., 0]
 
 
+def wall_viscous_tractions(w, m, cfg, ref, patch: WallPatch, extras=None,
+                           cache=None):
+    """Full-gradient viscous traction (force-per-face 3-vector ON THE BODY)
+    at a wall patch's boundary faces.
+
+    Uses the SAME face flux as the viscous residual (viscous.py
+    face_viscous_flux: Green-Gauss cell gradients + normal-corrected face
+    gradient + full stress tensor incl. the -2/3 mu div(u) term), so the
+    integrated CDv is consistent with the momentum the residual removes at
+    the wall. Replaces the round-1/2 thin-layer first-cell estimate.
+    Reference: surfaceIntegrations.F90 wallIntegrationFace:406 reading the
+    viscSubfaceType tau stored by viscousFlux (fluxes.F90:2534).
+
+    Sign: Cauchy convention t(n) = tau . n with n pointing from the body
+    into the fluid = -s_out/|s|, i.e. df_v = -sign * (tau . S_axis).
+    ``cache`` (dict) memoizes the per-(block, axis) face-flux sweep.
+    """
+    from adflow_tpu.physics.viscous import face_viscous_flux
+
+    key = (patch.block, patch.axis)
+    if cache is not None and key in cache:
+        fmom = cache[key]
+    else:
+        p = pressure(w)
+        fmom, _fen = face_viscous_flux(w, p, m, cfg, ref, patch.axis,
+                                       extras=extras)
+        if cache is not None:
+            cache[key] = fmom
+    return -patch.sign * fmom[patch.face_sl]
+
+
 def integrate_forces(w_list, x_list, metrics_list,
                      patches: Sequence[WallPatch], ref: ReferenceState,
-                     cfg=None, iblank_list=None) -> Dict[str, jnp.ndarray]:
+                     cfg=None, iblank_list=None,
+                     extras_list=None) -> Dict[str, jnp.ndarray]:
     """Integrated force + moment vectors (nondim), pressure and viscous
     parts. Halos of w must be filled. Returns dict of 3-vectors."""
     force_p = jnp.zeros(3)
     force_v = jnp.zeros(3)
     moment = jnp.zeros(3)
     xref = jnp.asarray(ref.moment_ref)
+    visc_cache = {}
     for patch in patches:
         w = w_list[patch.block]
         m = metrics_list[patch.block]
@@ -131,22 +164,12 @@ def integrate_forces(w_list, x_list, metrics_list,
         moment = moment + mom
 
         if patch.bc in VISCOUS_WALL_BCS and cfg is not None and cfg.viscous:
-            # wall shear from the no-slip face: tau = mu * (du/dn)|wall;
-            # du/dn ~ (u_int - u_wall)/dn with u_wall = 0, dn = wall-normal
-            # distance of the first cell center (thin-layer estimate, the
-            # reference's viscSubfaceType stress uses full gradients —
-            # upgraded along with the viscous module).
-            rho_i = wi[..., IRHO]
-            v_i = wi[..., IMX:IMZ + 1] / rho_i[..., None]
-            t_i = temperature(wi)
-            mu = laminar_viscosity(t_i, ref.mu_inf, ref.t_inf_dim)
-            smag = jnp.linalg.norm(s_out, axis=-1)
-            nhat = s_out / jnp.maximum(smag, 1e-30)[..., None]
-            vol_i = m.vol[patch.int_sl]
-            dn = vol_i / jnp.maximum(smag, 1e-30)      # cell height
-            vt = v_i - jnp.sum(v_i * nhat, axis=-1, keepdims=True) * nhat
-            tau = mu[..., None] * vt / (0.5 * dn)[..., None]
-            dfv = -tau * smag[..., None]
+            ex = (extras_list[patch.block]
+                  if extras_list is not None else None)
+            dfv = wall_viscous_tractions(w, m, cfg, ref, patch, extras=ex,
+                                         cache=visc_cache)
+            if mask is not None:
+                dfv = dfv * mask[..., None]
             fv = jnp.sum(dfv, axis=(0, 1))
             force_v = force_v + fv
             moment = moment + jnp.sum(jnp.cross(xc - xref, dfv), axis=(0, 1))

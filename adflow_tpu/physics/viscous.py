@@ -110,22 +110,15 @@ def _face_gradient(g, phi, xc, axis, it):
     return gbar + corr
 
 
-def viscous_residual(w, p, metrics, cfg, ref, xc_ext=None, extras=None):
-    """Viscous flux residual contribution on the interior, sign convention
-    matching inviscid_residual (positive = net outflow): R_visc = -sum_f
-    Fv . S_out.
-
-    w halo-padded incl. turbulence variables; returns (ni, nj, nk, 5).
-    """
-    # primitive fields on the full padded array: u, v, w, T
+def _viscosity_fields(w, p, metrics, cfg, ref, extras=None):
+    """(prim, g, mu_eff, k_eff): primitive fields [u,v,w,T] on the padded
+    grid, their Green-Gauss cell gradients, and effective viscosity /
+    conductivity on the one-ring extended grid."""
     rho = w[..., IRHO]
     vel = w[..., IMX:IMZ + 1] / rho[..., None]
     t = GAMMA * p / rho
     prim = jnp.concatenate([vel, t[..., None]], axis=-1)  # nf = 4
-
     g = green_gauss_gradients(prim, metrics)              # (n+2.., 4, 3)
-
-    # viscosity at cells (extended grid)
     tE = t[1:-1, 1:-1, 1:-1]
     mu = laminar_viscosity(tE, ref.mu_inf, ref.t_inf_dim)
     mu_eff = mu
@@ -141,37 +134,57 @@ def viscous_residual(w, p, metrics, cfg, ref, xc_ext=None, extras=None):
             mut = eddy_viscosity(wE, mu)
         mu_eff = mu_eff + mut
         k_eff = k_eff + mut / (PR_TURB * (GAMMA - 1.0))
+    return prim, g, mu_eff, k_eff
 
+
+def face_viscous_flux(w, p, metrics, cfg, ref, axis, extras=None,
+                      fields=None, xc_ext=None):
+    """Viscous momentum + energy flux (tau . S, q . S) at ALL interior faces
+    of one axis: (fmom (faces.., 3), fen (faces..)). Face index 0 is the
+    block's low boundary face — the wall-stress source for force
+    integration (reference: viscSubfaceType tau storage, block.F90:21-35,
+    filled by viscousFlux, fluxes.F90:2534)."""
+    if fields is None:
+        fields = _viscosity_fields(w, p, metrics, cfg, ref, extras)
+    prim, g, mu_eff, k_eff = fields
     if xc_ext is None:
         xc_ext = metrics.xc_ext
+    it = [slice(2, -2)] * 3
+    it[axis] = slice(None)
+    gf = _face_gradient(g, prim, xc_ext, axis, it)        # (faces.., 4, 3)
+    s = (metrics.si, metrics.sj, metrics.sk)[axis]
+    mu_f = _face_avg(mu_eff, axis)
+    k_f = _face_avg(k_eff, axis)
 
-    velE = vel
+    gu = gf[..., 0:3, :]                                  # (faces.., 3, 3)
+    div = gu[..., 0, 0] + gu[..., 1, 1] + gu[..., 2, 2]
+    tau = mu_f[..., None, None] * (gu + jnp.swapaxes(gu, -1, -2))
+    tau = tau - (2.0 / 3.0) * (mu_f * div)[..., None, None] \
+        * jnp.eye(3, dtype=w.dtype)
+    fmom = jnp.einsum("...ab,...b->...a", tau, s)
+
+    vel = prim[..., 0:3]
+    vL = _shift(vel[tuple(it)], axis, 1, -2)
+    vR = _shift(vel[tuple(it)], axis, 2, -1)
+    v_f = 0.5 * (vL + vR)
+    gT = gf[..., 3, :]
+    fen = (jnp.sum(v_f * fmom, axis=-1) + k_f * jnp.sum(gT * s, axis=-1))
+    return fmom, fen
+
+
+def viscous_residual(w, p, metrics, cfg, ref, xc_ext=None, extras=None):
+    """Viscous flux residual contribution on the interior, sign convention
+    matching inviscid_residual (positive = net outflow): R_visc = -sum_f
+    Fv . S_out.
+
+    w halo-padded incl. turbulence variables; returns (ni, nj, nk, 5).
+    """
+    fields = _viscosity_fields(w, p, metrics, cfg, ref, extras)
     R = 0.0
     for axis in range(3):
-        it = [slice(2, -2)] * 3
-        it[axis] = slice(None)
-        gf = _face_gradient(g, prim, xc_ext, axis, it)    # (faces.., 4, 3)
-        s = (metrics.si, metrics.sj, metrics.sk)[axis]
-
-        mu_f = _face_avg(mu_eff, axis)
-        k_f = _face_avg(k_eff, axis)
-
-        gu = gf[..., 0:3, :]                              # (faces.., 3, 3)
-        div = gu[..., 0, 0] + gu[..., 1, 1] + gu[..., 2, 2]
-        tau = mu_f[..., None, None] * (
-            gu + jnp.swapaxes(gu, -1, -2))
-        tau = tau - (2.0 / 3.0) * (mu_f * div)[..., None, None] \
-            * jnp.eye(3, dtype=w.dtype)
-
-        fmom = jnp.einsum("...ab,...b->...a", tau, s)
-
-        vL = _shift(velE[tuple(it)], axis, 1, -2)
-        vR = _shift(velE[tuple(it)], axis, 2, -1)
-        v_f = 0.5 * (vL + vR)
-        gT = gf[..., 3, :]
-        fen = (jnp.sum(v_f * fmom, axis=-1)
-               + k_f * jnp.sum(gT * s, axis=-1))
-
+        fmom, fen = face_viscous_flux(w, p, metrics, cfg, ref, axis,
+                                      extras=extras, fields=fields,
+                                      xc_ext=xc_ext)
         flux = jnp.concatenate(
             [jnp.zeros_like(fen)[..., None], fmom, fen[..., None]], axis=-1)
         dR = _shift(flux, axis, 1, 0) - _shift(flux, axis, 0, -1)
