@@ -100,6 +100,7 @@ def build_adjoint_fns(solver) -> AdjointFns:
     x_offsets = np.concatenate([[0], np.cumsum(x_sizes)])
     wall_patches = solver.wall_patches
     dtype = solver.dtype
+    mesh_blocks = solver.mesh.blocks
 
     def pack_x(x_list):
         return jnp.concatenate([x.reshape(-1) for x in x_list])
@@ -112,7 +113,8 @@ def build_adjoint_fns(solver) -> AdjointFns:
         ref = traced_reference_state(base_ref, params)
         winf = traced_winf(ref).astype(dtype)
         x_list = unpack_x(xvec)
-        metrics_list = [compute_metrics(x) for x in x_list]
+        from adflow_tpu.geom.metrics import compute_metrics_conn
+        metrics_list = compute_metrics_conn(mesh_blocks, x_list)
         w_list = []
         template_shapes = [tuple(d + 4 for d in bs.dims) + (packer.nw,)
                            for bs in topo.blocks]

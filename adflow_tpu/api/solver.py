@@ -128,7 +128,9 @@ class ADFLOW:
         self.topo: MeshTopology = build_topology(
             mesh, cut_callback=self._cut_cb)
         self.x_list = [jnp.asarray(b.x, self.dtype) for b in mesh.blocks]
-        self.metrics_list = [compute_metrics(x) for x in self.x_list]
+        # true ghost metrics at b2b faces (xhalo analogue, metrics.py)
+        from adflow_tpu.geom.metrics import compute_metrics_conn
+        self.metrics_list = compute_metrics_conn(mesh.blocks, self.x_list)
         self._metrics_base = list(self.metrics_list)
         self._check_volumes()
 
@@ -951,7 +953,9 @@ class ADFLOW:
     def _rebuild_geometry(self):
         """Recompute metrics/wall distances and drop stale jitted closures
         after any node-coordinate change."""
-        self.metrics_list = [compute_metrics(x) for x in self.x_list]
+        from adflow_tpu.geom.metrics import compute_metrics_conn
+        self.metrics_list = compute_metrics_conn(self.mesh.blocks,
+                                                 self.x_list)
         self._metrics_base = list(self.metrics_list)
         if self.cfg.rans:
             from adflow_tpu.geom.walldist import compute_wall_distances

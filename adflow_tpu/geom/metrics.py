@@ -206,3 +206,130 @@ def add_grid_motion(metrics: BlockMetrics, x: jnp.ndarray, omega,
                        mode="edge")
 
     return metrics._replace(vfIE=vf(xmi), vfJE=vf(xmj), vfKE=vf(xmk))
+
+
+# ---------------------------------------------------------------------------
+# True halo metrics at b2b connections (reference: xhalo coordinate exchange
+# + halo metric computation, preprocessingAPI.F90:1042 + metric; the ghost
+# ring of siE/sjE/skE/vol/xc_ext then carries the NEIGHBOR's real geometry
+# instead of edge replication — required for partition-invariant JST radii,
+# Green-Gauss ghost gradients and viscous distances at internal interfaces,
+# e.g. block splits, dist/stacked.py).
+# ---------------------------------------------------------------------------
+
+def extend_nodes_list(blocks, x_list):
+    """Per-block node arrays extended by ONE ghost node layer per side:
+    (ni+3, nj+3, nk+3, 3). Base fill: linear extrapolation; b2b connection
+    faces overwritten with the donor block's true nodes (differentiable
+    gathers with static indices). Rotated/translated periodic connections
+    keep the extrapolated fill (geometry is not a plain copy there)."""
+    import numpy as _np
+
+    def extrap_pad(x):
+        for ax in range(3):
+            lo = 2.0 * jax.lax.slice_in_dim(x, 0, 1, axis=ax) \
+                - jax.lax.slice_in_dim(x, 1, 2, axis=ax)
+            n = x.shape[ax]
+            hi = 2.0 * jax.lax.slice_in_dim(x, n - 1, n, axis=ax) \
+                - jax.lax.slice_in_dim(x, n - 2, n - 1, axis=ax)
+            x = jnp.concatenate([lo, x, hi], axis=ax)
+        return x
+
+    out = [extrap_pad(x) for x in x_list]
+    # two passes, reading from the (partially) EXTENDED donor arrays: pass 1
+    # fills the face ghost planes, pass 2 lets corner/edge ghosts pick up
+    # values another connection delivered to the donor — exact corners where
+    # the topology provides them (the reference's ordered xhalo rounds).
+    for _ in range(2):
+        nxt = list(out)
+        for bi, blk in enumerate(blocks):
+            dims = tuple(s - 1 for s in blk.x.shape[:3])  # cells per axis
+            for conn in blk.conns:
+                if conn.rotation is not None or conn.translation is not None:
+                    continue
+                ax = conn.face.axis
+                donor = blocks[conn.donor_block]
+                ddims = tuple(s - 1 for s in donor.x.shape[:3])
+                # my ghost node plane (node coords, -1..n+1 tangentially)
+                rngs = []
+                for m in range(3):
+                    if m == ax:
+                        rngs.append(_np.array(
+                            [dims[ax] + 1 if conn.face.is_high else -1]))
+                    else:
+                        rngs.append(_np.arange(-1, dims[m] + 2))
+                g = _np.stack(_np.meshgrid(*rngs, indexing="ij"), axis=-1)
+                d = _np.zeros_like(g)
+                for m in range(3):
+                    t = conn.transform[m]
+                    a_d = abs(t) - 1
+                    if t > 0:
+                        d[..., a_d] = g[..., m] + conn.offset[m]
+                    else:
+                        d[..., a_d] = conn.offset[m] + 1 - g[..., m]
+                # donor indices into its EXTENDED array (+1 shift), ghost
+                # ring allowed, clamped at the ext bounds
+                for m in range(3):
+                    d[..., m] = _np.clip(d[..., m] + 1, 0, ddims[m] + 2)
+                gi = g + 1  # into my x_ext coords
+                src = out[conn.donor_block][d[..., 0], d[..., 1], d[..., 2]]
+                nxt[bi] = nxt[bi].at[gi[..., 0], gi[..., 1],
+                                     gi[..., 2]].set(src)
+        out = nxt
+    return out
+
+
+def compute_metrics_conn(blocks, x_list):
+    """compute_metrics per block, with the ghost-ring metric entries at b2b
+    connection faces replaced by TRUE values computed from exchanged halo
+    nodes. Physical-BC ghost entries keep the standard mirrored/replicated
+    construction (identical to compute_metrics), so conn-free blocks are
+    bit-identical to the plain path."""
+    x_ext_list = extend_nodes_list(blocks, x_list)
+    out = []
+    for bi, blk in enumerate(blocks):
+        base = compute_metrics(x_list[bi])
+        conns = [c for c in blk.conns
+                 if c.rotation is None and c.translation is None]
+        if not conns:
+            out.append(base)
+            continue
+        xe = x_ext_list[bi]
+        fsi, fsj, fsk = face_areas(xe)
+        fvol = cell_volumes(xe)
+        fxc = cell_centers(xe)
+        siE, sjE, skE = base.siE, base.sjE, base.skE
+        vol, xc = base.vol, base.xc_ext
+
+        def set_plane(a, full, axis, hi, vol_style=False):
+            idx = (a.shape[axis] - (2 if vol_style else 1)) if hi \
+                else (1 if vol_style else 0)
+            fidx = full.shape[axis] - 1 if hi else 0
+            sl = [slice(None)] * a.ndim
+            sl[axis] = idx
+            fsl = [slice(None)] * full.ndim
+            fsl[axis] = fidx
+            if vol_style:
+                # base vol is two-ring padded (n+4): embed the one-ring
+                # plane into the central tangential region
+                for t in range(3):
+                    if t != axis:
+                        sl[t] = slice(1, -1)
+            return a.at[tuple(sl)].set(full[tuple(fsl)])
+
+        done = set()
+        for c in conns:
+            key = (c.face.axis, c.face.is_high)
+            if key in done:
+                continue
+            done.add(key)
+            ax, hi = key
+            siE = set_plane(siE, fsi, ax, hi)
+            sjE = set_plane(sjE, fsj, ax, hi)
+            skE = set_plane(skE, fsk, ax, hi)
+            vol = set_plane(vol, fvol, ax, hi, vol_style=True)
+            xc = set_plane(xc, fxc, ax, hi)
+        out.append(BlockMetrics(siE=siE, sjE=sjE, skE=skE, vol=vol,
+                                xc_ext=xc, vfIE=base.vfIE, vfJE=base.vfJE,
+                                vfKE=base.vfKE))
+    return out

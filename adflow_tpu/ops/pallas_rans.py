@@ -52,6 +52,7 @@ _SIG = _sa.SIGMA
 import os as _os
 
 _STAGE = int(_os.environ.get("ADFLOW_TPU_RANS_STAGE", "6"))
+_VMEM_MB = int(_os.environ.get("ADFLOW_TPU_RANS_VMEM_MB", "100"))
 
 
 def _kernel(ni, nk, ti, vis2, vis4, expo, mu_inf, t_inf_dim, use_ft2,
@@ -530,7 +531,7 @@ def _build_call(dims, kp, ti, vis2, vis4, expo, mu_inf, t_inf_dim, use_ft2,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=_VMEM_MB * 2 ** 20),
         interpret=interpret,
     )
 
@@ -575,7 +576,15 @@ def _prep_inputs(w6, metrics, dist, por):
     porI = padk(jnp.asarray(por[0], f32))
     porJ = padk(jnp.asarray(por[1], f32))
     porK = padk(jnp.asarray(por[2], f32))
-    return (wt, vol, xc, dst, siE, sjE, skE, porI, porJ, porK), kp, nk
+    # Mosaic operands must be BUFFERS: when metrics/porosities are jit
+    # closure constants, XLA folds the pad/transpose and feeds the kernel an
+    # HLO constant, whose placement faults the DMA engine (measured: the
+    # same kernel runs with the arrays as jit parameters and device-faults
+    # with them as constants — and the fault wedges the TPU for the rest of
+    # the process). optimization_barrier stops the folding.
+    args = jax.lax.optimization_barrier(
+        (wt, vol, xc, dst, siE, sjE, skE, porI, porJ, porK))
+    return args, kp, nk
 
 
 def _pallas_impl(w6, siE, sjE, skE, vol, xc, dist, porI, porJ, porK,

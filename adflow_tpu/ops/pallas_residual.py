@@ -276,11 +276,16 @@ def _pallas_impl(w5, p, siE, sjE, skE, porI, porJ, porK,
         return jnp.pad(a.astype(f32), pad)
 
     wt = padk(jnp.moveaxis(w5, -1, 0))
-    out = call(wt, padk(p),
-               padk(jnp.moveaxis(siE, -1, 0)),
-               padk(jnp.moveaxis(sjE, -1, 0)),
-               padk(jnp.moveaxis(skE, -1, 0)),
-               padk(porI), padk(porJ), padk(porK))
+    # operands through an optimization barrier so closure-constant metrics/
+    # porosities reach Mosaic as buffers, not HLO constants (constant
+    # operands device-fault the DMA — see ops/pallas_rans.py _prep_inputs)
+    args = jax.lax.optimization_barrier(
+        (wt, padk(p),
+         padk(jnp.moveaxis(siE, -1, 0)),
+         padk(jnp.moveaxis(sjE, -1, 0)),
+         padk(jnp.moveaxis(skE, -1, 0)),
+         padk(porI), padk(porJ), padk(porK)))
+    out = call(*args)
     return jnp.moveaxis(out[..., 2:nk + 2], 0, -1)
 
 

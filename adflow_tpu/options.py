@@ -55,10 +55,14 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "wallDistCutoff": 1e20,
     "lowSpeedPreconditioner": False,
 
-    # Pallas blockette perf path for the central+JST residual (reference:
+    # Pallas blockette perf path for the fused residual (reference:
     # useBlockettes, doc/options.yaml:492; active on TPU backends only —
-    # CPU runs would hit the slow interpreter).
-    "useBlockettes": True,
+    # CPU runs would hit the slow interpreter). Default OFF: Mosaic kernel
+    # operands must be jit PARAMETERS — the solver's jitted steps currently
+    # capture metrics/porosities as closure constants, which device-faults
+    # the kernel DMA on real TPUs (ops/pallas_rans.py notes; bench.py
+    # threads the arrays explicitly and turns the kernel on).
+    "useBlockettes": False,
 
     # Discretization
     "discretization": "central plus scalar dissipation",
@@ -150,7 +154,7 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
 
     # Reference / freestream
     "liftIndex": 2,                      # 2: y is lift, 3: z is lift
-    "useBlockettes": True,               # kept for parity; maps to pallas path
+    "useBlockettes": False,              # kept for parity; maps to pallas path
 
     # Time accurate
     "timeIntegrationScheme": "BDF",      # 'BDF' | 'explicit RK'
