@@ -99,6 +99,7 @@ def build_adjoint_fns(solver) -> AdjointFns:
     x_sizes = [int(np.prod(s)) for s in x_shapes]
     x_offsets = np.concatenate([[0], np.cumsum(x_sizes)])
     wall_patches = solver.wall_patches
+    wall_patch_weights = getattr(solver, "wall_patch_weights", None)
     dtype = solver.dtype
     mesh_blocks = solver.mesh.blocks
 
@@ -139,7 +140,8 @@ def build_adjoint_fns(solver) -> AdjointFns:
         ibl = [bs.iblank for bs in topo.blocks]
         f = integrate_forces(w_list, x_list, metrics_list, wall_patches,
                              ref, cfg, iblank_list=ibl,
-                             extras_list=extras_list)
+                             extras_list=extras_list,
+                             patch_weights=wall_patch_weights)
         return cost_functions(f, ref)
 
     return AdjointFns(res=res, funcs=funcs, pack_x=pack_x,

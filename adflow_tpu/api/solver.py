@@ -63,7 +63,8 @@ class _IterMonitor:
         ibl = [bs.iblank for bs in s.topo.blocks]
         f = integrate_forces(wf, s.x_list, s.metrics_list, s.wall_patches,
                              s.ref, s.cfg, iblank_list=ibl,
-                             extras_list=s.extras_list)
+                             extras_list=s.extras_list,
+                             patch_weights=s.wall_patch_weights)
         return cost_functions(f, s.ref)
 
     def __call__(self, it, rm, rt, w_list=None, cfl=None, linres=None,
@@ -164,6 +165,13 @@ class ADFLOW:
         self.wall_patches = build_wall_patches(mesh)
         self.flow_patches = build_wall_patches(mesh,
                                                include=FLOW_THROUGH_BCS)
+        # zipper-equivalent overlap dedup weights for overset surfaces
+        # (overset/assembly.py overlap_surface_weights)
+        self.wall_patch_weights = None
+        if any(bs.iblank is not None for bs in self.topo.blocks):
+            from adflow_tpu.overset.assembly import overlap_surface_weights
+            self.wall_patch_weights = overlap_surface_weights(
+                mesh, self.wall_patches)
 
         # wall distance for RANS (reference: wallDistance.F90:129)
         self.extras_list = None
@@ -201,6 +209,16 @@ class ADFLOW:
         self.ref = make_reference_state(
             ap, lift_index=int(self.options["liftIndex"]),
             n_turb=self.cfg.n_turb)
+        if bool(self.options["useWallFunctions"]) and self.cfg.viscous:
+            # wall-function wall treatment (computeUtau analogue; bc.py)
+            import dataclasses as _dc
+            self.ref = _dc.replace(self.ref, wall_fn=True)
+        if bool(self.options["lowSpeedPreconditioner"]):
+            # Weiss-Smith beta^2 cutoff anchored at the AP's free-stream
+            # Mach (reference: lowSpeedPreconditioner, residuals.F90:172)
+            import dataclasses as _dc
+            self.cfg = _dc.replace(self.cfg,
+                                   ls_precon_mach=float(ap.mach))
         self.winf = jnp.asarray(self.ref.winf(), self.dtype)
         # rigid grid motion (reference: gridVelocitiesFineLevel from the
         # AeroProblem rotation rates, solverUtils.F90:358): attach ALE face
@@ -373,7 +391,8 @@ class ADFLOW:
         ibl = [bs.iblank for bs in self.topo.blocks]
         f = integrate_forces(wf, self.x_list, self.metrics_list,
                              self.wall_patches, self.ref, self.cfg,
-                             iblank_list=ibl, extras_list=self.extras_list)
+                             iblank_list=ibl, extras_list=self.extras_list,
+                             patch_weights=self.wall_patch_weights)
         f.update(wall_sensors(wf, self.metrics_list, self.wall_patches,
                               self.ref, iblank_list=ibl))
         if self.flow_patches:

@@ -189,6 +189,13 @@ class ReferenceState:
     n_turb: int               # number of turbulence variables carried in w
     k_inf: float = 0.0        # SST freestream k (nondim)
     omega_inf: float = 1.0    # SST freestream omega (nondim)
+    # wall-function wall treatment (reference: useWallFunctions option,
+    # solverUtils.F90:2483 computeUtau + turbCurveFits.F90): when True,
+    # viscous wall ghost velocities are scaled so the wall face produces
+    # the Spalding-law shear instead of the linear-sublayer gradient —
+    # carried here because ReferenceState travels into every BC evaluation
+    # (physics/bc.py). Static Python bool: changing it retraces.
+    wall_fn: bool = False
 
     @property
     def nw(self) -> int:

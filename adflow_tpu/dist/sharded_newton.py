@@ -54,7 +54,7 @@ def _res_local_flat(prob: ShardedProblem, cfg: ProblemConfig,
 
 def _rad_sums(w, metrics, cfg, ref):
     p = jnp.maximum(pressure(w), 1e-10)
-    rI, rJ, rK = spectral_radii(w, p, metrics)
+    rI, rJ, rK = spectral_radii(w, p, metrics, cfg.ls_precon_mach)
     rs = (rI + rJ + rK)[1:-1, 1:-1, 1:-1]
     if cfg.viscous:
         rv = viscous_spectral_radii(w, metrics, cfg, ref)

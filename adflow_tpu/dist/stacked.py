@@ -511,7 +511,7 @@ def stacked_ank_step(w, sm, prob: StackedProblem, cfg: ProblemConfig,
 
     def rad(wb, smb):
         p = jnp.maximum(pressure(wb), 1e-10)
-        rI, rJ, rK = spectral_radii(wb, p, smb)
+        rI, rJ, rK = spectral_radii(wb, p, smb, cfg.ls_precon_mach)
         rs = (rI + rJ + rK)[1:-1, 1:-1, 1:-1]
         if cfg.viscous:
             rv = viscous_spectral_radii(wb, smb, cfg, ref)

@@ -96,7 +96,7 @@ def naca4_coords(s: np.ndarray, thickness: float = 0.12) -> np.ndarray:
 def naca0012_omesh(ni: int = 128, nj: int = 48, radius: float = 20.0,
                    width: float = 1.0, thickness: float = 0.12,
                    wall_spacing: Optional[float] = None,
-                   viscous: bool = False) -> MultiBlockMesh:
+                   viscous: bool = False, nk: int = 1) -> MultiBlockMesh:
     """O-mesh around a NACA00xx airfoil, extruded one layer (nk=1) in z with
     symmetry BCs — the reference's quasi-2D idiom. i wraps around the body
     (periodic self-connection), j goes surface -> farfield circle.
@@ -119,7 +119,6 @@ def naca0012_omesh(ni: int = 128, nj: int = 48, radius: float = 20.0,
     dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
     xy = surf[:, None, :] + dirs[:, None, :] * eta[None, :, None]
 
-    nk = 1
     z = np.linspace(0.0, width, nk + 1)
     x = np.zeros((ni + 1, nj + 1, nk + 1, 3))
     xy_wrap = np.concatenate([xy, xy[:1]], axis=0)   # close the O

@@ -218,7 +218,7 @@ _INERT_OPTIONS = {
     "surfaceVariables", "volumeVariables",       # output variable menus
     "flowType",                                   # internal-flow mode
     "useQCR",                                     # SA-QCR stress correction
-    "useWallFunctions", "lowSpeedPreconditioner",
+
     "coarseDiscretization", "MGStartLevel", "nCyclesCoarse",
     "L2ConvergenceCoarse", "maxL2DeviationFactor",  # FMG start
     "dissipationLumpingParameter", "riemannSolver",

@@ -213,13 +213,18 @@ def build_overset(mesh: MultiBlockMesh,
     if padded_shapes is None:
         padded_shapes = [tuple(d + 2 * H for d in dm) for dm in dims]
 
-    # --- 1. holes (explicit cut) ------------------------------------------
+    # --- 1. holes (explicit cut, or IMPLICIT wall-containment + flood when
+    # no callback is given — oversetAPI.F90 implicit hole cutting) ---------
     iblank = [np.full(dm, IBLANK_COMPUTE, np.int8) for dm in dims]
     if cut_callback is not None:
         for bi in range(nb):
             mask = np.asarray(
                 cut_callback(bi, centers[bi].reshape(-1, 3)), bool)
             iblank[bi][mask.reshape(dims[bi])] = IBLANK_HOLE
+    elif len(set(int(c) for c in clusters)) >= 2:
+        for bi, hole in enumerate(implicit_hole_cut(mesh, clusters,
+                                                    centers)):
+            iblank[bi][hole] = IBLANK_HOLE
 
     # --- 2. fringe sets ----------------------------------------------------
     # (a) interior ring around holes: dilate the hole mask by 2 cells.
@@ -426,3 +431,151 @@ def iblank_masks(table: Optional[OversetTable], nblocks: int,
         return [None] * nblocks
     return [(tab == IBLANK_COMPUTE).astype(np.float64)[..., None]
             for tab in table.iblank]
+
+
+# ---------------------------------------------------------------------------
+# Implicit hole cutting (reference: oversetAPI.F90 Steps 1-16 implicit path,
+# overset/flagNearWall.F90 + floodInteriorCells.F90): no user callback —
+# cells of one cluster that lie on the BODY side of another cluster's wall
+# surface are holes, and enclosed non-hole pockets are flooded.
+# ---------------------------------------------------------------------------
+
+from adflow_tpu.core.mesh import WALL_BCS as _WALL_BCS
+
+
+def _wall_surface_of_cluster(mesh: MultiBlockMesh, clusters, cl: int):
+    """(centers (n,3), into-body unit normals (n,3), diam (n,)) of all wall
+    faces of cluster ``cl``."""
+    cs, ns, ds = [], [], []
+    for bi, blk in enumerate(mesh.blocks):
+        if clusters[bi] != cl:
+            continue
+        dims = blk.dims
+        for sf in blk.bcs:
+            if sf.bc not in _WALL_BCS:
+                continue
+            ax = sf.face.axis
+            t1, t2 = [a for a in range(3) if a != ax]
+            rng = sf.rng or ((0, dims[t1]), (0, dims[t2]))
+            sl = [None] * 3
+            sl[ax] = dims[ax] if sf.face.is_high else 0
+            sl[t1] = slice(rng[0][0], rng[0][1] + 1)
+            sl[t2] = slice(rng[1][0], rng[1][1] + 1)
+            xs = blk.x[tuple(sl)]
+            c = 0.25 * (xs[:-1, :-1] + xs[1:, :-1] + xs[1:, 1:]
+                        + xs[:-1, 1:])
+            # quad area vector pointing +axis; +axis for t1<t2 ordering:
+            # S = 0.5 (d1 x d2) with diagonals in (t1, t2) plane — sign
+            # convention matches geom/metrics.face_areas for each axis
+            d1 = xs[1:, 1:] - xs[:-1, :-1]
+            d2 = xs[:-1, 1:] - xs[1:, :-1]
+            s = 0.5 * np.cross(d1, d2)
+            if (t1, t2) != ((ax + 1) % 3, (ax + 2) % 3):
+                # ascending-order tangentials flip the cross orientation
+                # for axis 1 (t1,t2)=(0,2) vs cyclic (2,0)
+                if ax == 1:
+                    s = -s
+            sign = 1.0 if sf.face.is_high else -1.0
+            s_body = sign * s            # out of fluid = into the body
+            a = np.linalg.norm(s_body, axis=-1, keepdims=True)
+            cs.append(c.reshape(-1, 3))
+            ns.append((s_body / np.maximum(a, 1e-300)).reshape(-1, 3))
+            ds.append(np.sqrt(np.maximum(a, 0.0)).reshape(-1))
+    if not cs:
+        return None
+    return (np.concatenate(cs), np.concatenate(ns), np.concatenate(ds))
+
+
+def implicit_hole_cut(mesh: MultiBlockMesh, clusters, centers):
+    """Hole masks per block: containment behind other clusters' walls +
+    flood of enclosed pockets. Requires (locally) closed wall surfaces —
+    the standard body-in-background chimera setup."""
+    try:
+        from scipy import ndimage
+    except ImportError:  # pragma: no cover
+        ndimage = None
+    nb = len(mesh.blocks)
+    holes = [np.zeros(b.dims, bool) for b in mesh.blocks]
+    surf = {}
+    for cl in set(int(c) for c in clusters):
+        surf[cl] = _wall_surface_of_cluster(mesh, clusters, cl)
+    for bi in range(nb):
+        for cl, s in surf.items():
+            if s is None or clusters[bi] == cl:
+                continue
+            c, n, d = s
+            tree = cKDTree(c)
+            p = centers[bi].reshape(-1, 3)
+            dist, idx = tree.query(p)
+            side = np.einsum("ij,ij->i", p - c[idx], n[idx])
+            # body side of the nearest wall face = inside. Cells slightly
+            # OUTSIDE (within one facet diameter) blank too: the fringe
+            # front then sits clear of the donor mesh's wall half-cell gap
+            # (reference: flagNearWall.F90 + the nearWallDist option) —
+            # without the margin, fringes land between the donor wall and
+            # its first cell-center ring and orphan.
+            inside = side > -d[idx]
+            holes[bi] |= inside.reshape(mesh.blocks[bi].dims)
+        # flood enclosed pockets (floodInteriorCells.F90): non-hole
+        # components that never reach the block's outer boundary are
+        # inside the body
+        if ndimage is not None and holes[bi].any():
+            lab, nlab = ndimage.label(~holes[bi])
+            if nlab > 1:
+                edge = np.zeros_like(holes[bi])
+                edge[0], edge[-1] = True, True
+                edge[:, 0], edge[:, -1] = True, True
+                edge[:, :, 0], edge[:, :, -1] = True, True
+                outside_labels = set(np.unique(lab[edge & (lab > 0)]))
+                pocket = (lab > 0) & ~np.isin(lab, list(outside_labels))
+                holes[bi] |= pocket
+    return holes
+
+
+def overlap_surface_weights(mesh: MultiBlockMesh, patches):
+    """Zipper-equivalent overlap deduplication for surface integration
+    (reference: overset/zipperMesh.F90:18 createZipperMesh +
+    solver/zipperIntegrations.F90): where wall faces of two clusters cover
+    the same physical surface, the coarser face gets weight 0 so integrals
+    don't double-count. Gap triangulation is not performed — overlapping
+    chimera surface setups should overlap by at least one face width.
+    Returns one (T1, T2) weight array per patch (None if no overlap)."""
+    clusters = _clusters(mesh)
+    # collect all wall faces once
+    allc, alla, allcl = [], [], []
+    per_patch = []
+    for p in patches:
+        blk = mesh.blocks[p.block]
+        xs = blk.x[p.fnode_sl]
+        c = 0.25 * (xs[:-1, :-1] + xs[1:, :-1] + xs[1:, 1:] + xs[:-1, 1:])
+        d1 = xs[1:, 1:] - xs[:-1, :-1]
+        d2 = xs[:-1, 1:] - xs[1:, :-1]
+        a = 0.5 * np.linalg.norm(np.cross(d1, d2), axis=-1)
+        per_patch.append((c, a))
+        allc.append(c.reshape(-1, 3))
+        alla.append(a.reshape(-1))
+        allcl.append(np.full(a.size, clusters[p.block]))
+    if not allc or len(set(int(v) for v in np.concatenate(allcl))) < 2:
+        return [None] * len(patches)
+    allc = np.concatenate(allc)
+    alla = np.concatenate(alla)
+    allcl = np.concatenate(allcl)
+    out = []
+    for pi, p in enumerate(patches):
+        c, a = per_patch[pi]
+        mycl = clusters[p.block]
+        other = allcl != mycl
+        if not other.any():
+            out.append(None)
+            continue
+        tree = cKDTree(allc[other])
+        oa = alla[other]
+        dist, idx = tree.query(c.reshape(-1, 3))
+        diam = np.sqrt(np.maximum(a.reshape(-1), 0.0))
+        odiam = np.sqrt(np.maximum(oa[idx], 0.0))
+        close = dist < 0.75 * np.maximum(diam, odiam)
+        finer_other = (oa[idx] < a.reshape(-1)) | (
+            np.isclose(oa[idx], a.reshape(-1)) & (mycl > 0))
+        w = np.where(close & finer_other, 0.0, 1.0)
+        out.append(w.reshape(a.shape) if (w == 0).any() else None)
+    return out

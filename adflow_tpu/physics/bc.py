@@ -27,7 +27,7 @@ import numpy as np
 from adflow_tpu.core.mesh import BCSubface, BCType, Block, Face
 from adflow_tpu.core.refstate import GAMMA, ReferenceState
 from adflow_tpu.physics.thermo import (
-    IMX, IMZ, IRHO, IRHOE, ITURB, pressure)
+    IMX, IMZ, IRHO, IRHOE, ITURB, laminar_viscosity, pressure)
 
 H = 2  # halo depth
 
@@ -144,11 +144,12 @@ def apply_bcs(w, metrics, ops: Sequence[BCOp], ref: ReferenceState,
             uw = _face_velocity(metrics, op)
             if uw is not None:
                 aux = {"uwall": uw}
-        if (w.shape[-1] == ITURB + 2
+        if ((w.shape[-1] == ITURB + 2 or ref.wall_fn)
                 and op.bc in (BCType.NS_WALL_ADIABATIC,
                               BCType.NS_WALL_ISOTHERMAL)):
             # first-cell height for the SST omega wall value
             # (turbBCRoutines.F90 SST wall: omega_1 = 60 nu/(beta1 d1^2))
+            # and for the wall-function utau solve (computeUtau)
             s = (metrics.si, metrics.sj, metrics.sk)[op.axis]
             smag = jnp.linalg.norm(s[op.face_sl], axis=-1)
             smag = jnp.pad(smag, (op.pad[0], op.pad[1]), mode="edge")
@@ -169,6 +170,66 @@ def _reflect_momentum(wi, nhat):
 def _reflect_momentum_vec(m, nhat):
     mn = jnp.sum(m * nhat, axis=-1, keepdims=True)
     return m - 2.0 * mn * nhat
+
+
+KARMAN_WF = 0.41
+B_WF = 5.25
+
+
+def spalding_utau(umag, d1, nu, n_iter: int = 30):
+    """Friction velocity from Spalding's unified law of the wall,
+    y+ = u+ + e^{-kB} (e^{k u+} - 1 - k u+ - (k u+)^2/2 - (k u+)^3/6),
+    solved in u+ space: h(u+) = u+ * y+(u+) - Re_d = 0 with
+    Re_d = |u| d1 / nu (jittable, differentiable fixed-iteration Newton —
+    Newton on the exponential walks ~1/k per step in k u+, so the iteration
+    count covers y+ up to ~1e4). Smooth sublayer-through-log-layer
+    equivalent of the reference's curve fits (turbCurveFits.F90;
+    computeUtau, solverUtils.F90:2483)."""
+    k = KARMAN_WF
+    ekb = jnp.exp(-k * B_WF)
+    umag = jnp.maximum(umag, 1e-12)
+    red = umag * jnp.maximum(d1, 1e-30) / nu
+
+    def spald(up):
+        kup = jnp.minimum(k * up, 50.0)
+        return up + ekb * (jnp.exp(kup) - 1.0 - kup - kup ** 2 / 2.0
+                           - kup ** 3 / 6.0)
+
+    def dspald(up):
+        kup = jnp.minimum(k * up, 50.0)
+        return 1.0 + ekb * (k * jnp.exp(kup) - k - k * kup
+                            - k * kup ** 2 / 2.0)
+
+    up = jnp.minimum(jnp.sqrt(red), 40.0)
+    for _ in range(n_iter):
+        h = up * spald(up) - red
+        dh = spald(up) + up * dspald(up)
+        up = jnp.clip(up - h / dh, 1e-8, 200.0)
+    return umag / up
+
+
+def _wall_fn_ghost_momentum(wi, nhat, ref, aux):
+    """Ghost momentum for a viscous wall with wall functions on: the
+    tangential ghost velocity is scaled so the wall-face gradient delivers
+    tau_w = rho u_tau^2 from Spalding's law instead of the under-resolved
+    linear gradient (y+ >> 1 meshes). In the resolved limit u_tau ->
+    sqrt(nu |u_t|/d1) and beta -> 1, recovering exact no-slip mirroring."""
+    rho = wi[..., IRHO]
+    v = wi[..., IMX:IMZ + 1] / rho[..., None]
+    vn = jnp.sum(v * nhat, axis=-1, keepdims=True) * nhat
+    vt = v - vn
+    vt_mag = jnp.linalg.norm(vt, axis=-1)
+    pi = pressure(wi)
+    ti = GAMMA * pi / rho
+    mu = laminar_viscosity(ti, ref.mu_inf, ref.t_inf_dim)
+    nu = mu / rho
+    d1 = jnp.maximum(0.5 * aux["dn"], 1e-12)
+    ut = spalding_utau(vt_mag, d1, nu)
+    tau_w = rho * ut ** 2
+    beta = tau_w * d1 / (mu * jnp.maximum(vt_mag, 1e-12))
+    beta = jnp.maximum(beta, 1.0)
+    vg = v - vn - 2.0 * beta[..., None] * vt - vn
+    return rho[..., None] * vg
 
 
 def _sst_wall_turb(wi, ref, aux):
@@ -211,7 +272,11 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
         # no-slip: opposite velocity, same rho/energy; turb -> -interior so
         # the wall value is zero (BCRoutines.F90:489 bcNSWallAdiabatic);
         # moving wall: ghost velocity = 2 uwall - u_int
-        mg = -wi[..., IMX:IMZ + 1]
+        if (ref.wall_fn and uwall is None and aux is not None
+                and "dn" in aux):
+            mg = _wall_fn_ghost_momentum(wi, nhat, ref, aux)
+        else:
+            mg = -wi[..., IMX:IMZ + 1]
         if uwall is not None:
             mg = mg + 2.0 * wi[..., IRHO:IRHO + 1] * uwall
             # recompute ghost energy from the INTERIOR pressure and the new

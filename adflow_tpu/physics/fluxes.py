@@ -53,14 +53,32 @@ def extended_face_areas(metrics):
     return metrics.siE, metrics.sjE, metrics.skE
 
 
-def spectral_radii(w, p, metrics) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+LS_PRECON_K = 3.0          # beta^2 = clip(max(M^2, K Mref^2), eps, 1)
+
+
+def spectral_radii(w, p, metrics, precon_mach: float = 0.0
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Convective spectral radii (radI, radJ, radK) per cell on the one-ring
-    extended grid: shape (ni+2, nj+2, nk+2). rad = |u . sAvg| + c |sAvg|."""
+    extended grid: shape (ni+2, nj+2, nk+2). rad = |u . sAvg| + c |sAvg|.
+
+    ``precon_mach`` > 0 switches on the Weiss-Smith low-speed
+    preconditioner's eigenvalues (reference: lowSpeedPreconditioner,
+    residuals.F90:172-331): the acoustic speed is rescaled by
+    beta^2 = clip(max(M_loc^2, K Mref^2), ., 1) so artificial dissipation
+    and pseudo-time steps stay O(u) as M -> 0 instead of O(c) — the fix
+    for the central scheme's low-Mach accuracy/stiffness (hydrofoil and
+    wind-turbine class cases, doc/verification.rst:26-50)."""
     wE = w[1:-1, 1:-1, 1:-1]
     pE = p[1:-1, 1:-1, 1:-1]
     rho = wE[..., IRHO]
     vel = wE[..., IMX:IMZ + 1] / rho[..., None]
-    c = jnp.sqrt(GAMMA * pE / rho)
+    c2 = GAMMA * pE / rho
+    c = jnp.sqrt(c2)
+    beta2 = None
+    if precon_mach and precon_mach > 0.0:
+        m2 = jnp.sum(vel * vel, axis=-1) / c2
+        beta2 = jnp.clip(jnp.maximum(m2, LS_PRECON_K * precon_mach ** 2),
+                         1e-10, 1.0)
     siE, sjE, skE = extended_face_areas(metrics)
 
     def rad(sE, vfE, axis):
@@ -70,7 +88,15 @@ def spectral_radii(w, p, metrics) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray
             # ALE: convective speed relative to the moving faces
             vf_avg = 0.5 * (_shift(vfE, axis, 0, -1) + _shift(vfE, axis, 1, 0))
             un = un - jnp.sum(vf_avg * s_avg, axis=-1)
-        return jnp.abs(un) + c * jnp.linalg.norm(s_avg, axis=-1)
+        smag = jnp.linalg.norm(s_avg, axis=-1)
+        if beta2 is None:
+            return jnp.abs(un) + c * smag
+        # preconditioned system eigenvalue (Weiss-Smith):
+        # lam = 0.5 (1+b2)|un| + sqrt(0.25 (1-b2)^2 un^2 + b2 c^2 |S|^2);
+        # b2 = 1 recovers |un| + c|S| exactly
+        return (0.5 * (1.0 + beta2) * jnp.abs(un)
+                + jnp.sqrt(0.25 * (1.0 - beta2) ** 2 * un * un
+                           + beta2 * c2 * smag * smag))
 
     return (rad(siE, metrics.vfIE, 0), rad(sjE, metrics.vfJE, 1),
             rad(skE, metrics.vfKE, 2))
@@ -91,7 +117,7 @@ def scaled_diss_radii(radI, radJ, radK, exponent: float):
 
 def inviscid_residual(w, p, metrics, vis2: float, vis4: float,
                       diss_exponent: float = 0.67, por=None,
-                      const_diss: bool = False):
+                      const_diss: bool = False, precon_mach: float = 0.0):
     """Central + JST residual on the interior, positive = net outflow.
 
     ``por``: optional per-axis face porosity masks (1 = normal flux, 0 =
@@ -104,7 +130,7 @@ def inviscid_residual(w, p, metrics, vis2: float, vis4: float,
     Returns R with shape (ni, nj, nk, 5): sum over faces of
     (central flux - artificial dissipation flux) . S.
     """
-    radI, radJ, radK = spectral_radii(w, p, metrics)
+    radI, radJ, radK = spectral_radii(w, p, metrics, precon_mach)
     sradI, sradJ, sradK = scaled_diss_radii(radI, radJ, radK, diss_exponent)
 
     # shock sensor per cell on the extended grid needs p two-deep: full array

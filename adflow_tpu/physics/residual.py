@@ -55,6 +55,10 @@ class ProblemConfig:
     # coarse-MG-level mode: constant 2nd-difference dissipation only
     # (fluxes.F90 coarse variants, option vis2Coarse)
     coarse_level: bool = False
+    # low-speed (Weiss-Smith) preconditioner: 0.0 = off; > 0 = the
+    # freestream Mach used in the beta^2 cutoff (reference:
+    # lowSpeedPreconditioner option, residuals.F90:172-331)
+    ls_precon_mach: float = 0.0
     # Pallas blockette perf path for the central+JST mean-flow residual
     # (reference: useBlockettes option, NKSolver/blockette.F90:70); primal
     # only — derivatives route through the jnp twin via custom_jvp.
@@ -241,7 +245,8 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
     else:
         r = inviscid_residual(w, p, metrics, cfg.vis2, cfg.vis4,
                               cfg.diss_exponent, por=por,
-                              const_diss=cfg.coarse_level)
+                              const_diss=cfg.coarse_level,
+                              precon_mach=cfg.ls_precon_mach)
     if cfg.viscous:
         from adflow_tpu.physics.viscous import viscous_residual
         r = r + viscous_residual(w, p, metrics, cfg, ref, extras=extras)

@@ -137,20 +137,28 @@ def wall_viscous_tractions(w, m, cfg, ref, patch: WallPatch, extras=None,
 def integrate_forces(w_list, x_list, metrics_list,
                      patches: Sequence[WallPatch], ref: ReferenceState,
                      cfg=None, iblank_list=None,
-                     extras_list=None) -> Dict[str, jnp.ndarray]:
+                     extras_list=None,
+                     patch_weights=None) -> Dict[str, jnp.ndarray]:
     """Integrated force + moment vectors (nondim), pressure and viscous
-    parts. Halos of w must be filled. Returns dict of 3-vectors."""
+    parts. Halos of w must be filled. ``patch_weights``: optional per-patch
+    (T1, T2) face weights — the zipper-equivalent overlap deduplication for
+    overset surfaces (overset/assembly.py overlap_surface_weights;
+    reference zipperIntegrations.F90). Returns dict of 3-vectors."""
     force_p = jnp.zeros(3)
     force_v = jnp.zeros(3)
     moment = jnp.zeros(3)
     xref = jnp.asarray(ref.moment_ref)
     visc_cache = {}
-    for patch in patches:
+    for ip, patch in enumerate(patches):
         w = w_list[patch.block]
         m = metrics_list[patch.block]
         s = (m.si, m.sj, m.sk)[patch.axis]
         s_out = patch.sign * s[patch.face_sl]          # out of the fluid
         mask = patch_iblank_mask(iblank_list, patch)
+        pw = patch_weights[ip] if patch_weights is not None else None
+        if pw is not None:
+            pw = jnp.asarray(pw, s_out.dtype)
+            mask = pw if mask is None else mask * pw
         if mask is not None:
             s_out = s_out * mask[..., None]
         wi = w[patch.int_sl]

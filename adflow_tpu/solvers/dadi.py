@@ -97,7 +97,8 @@ def build_dadi_data(w, metrics, cfg, ref, dtinv, relax: float = 1.0):
     cell (the ANK pseudo-time diagonal; for a pure smoother pass
     dtinv = radsum/CFL)."""
     p = jnp.maximum(pressure(w), 1e-10)
-    rI, rJ, rK = spectral_radii(w, p, metrics)
+    rI, rJ, rK = spectral_radii(w, p, metrics,
+                                cfg.ls_precon_mach)
     if cfg.viscous:
         # augment with viscous radii (interior only, edge-padded)
         rv = viscous_spectral_radii(w, metrics, cfg, ref)

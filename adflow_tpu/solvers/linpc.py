@@ -113,7 +113,8 @@ def build_line_pc(w, metrics, cfg, ref, dtinv, axes=(1,),
     better at the cost of weaker diagonal dominance.
     """
     p = jnp.maximum(pressure(w), 1e-10)
-    rI, rJ, rK = spectral_radii(w, p, metrics)
+    rI, rJ, rK = spectral_radii(w, p, metrics,
+                                cfg.ls_precon_mach)
     rads = [rI, rJ, rK]
     if cfg.viscous:
         rv = viscous_spectral_radii(w, metrics, cfg, ref)

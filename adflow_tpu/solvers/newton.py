@@ -115,7 +115,7 @@ def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
         outs = []
         for w, m in zip(w_list, metrics_list):
             p = jnp.maximum(pressure(w), 1e-10)
-            rI, rJ, rK = spectral_radii(w, p, m)
+            rI, rJ, rK = spectral_radii(w, p, m, cfg.ls_precon_mach)
             rs = (rI + rJ + rK)[1:-1, 1:-1, 1:-1]
             if cfg.viscous:
                 rv = viscous_spectral_radii(w, m, cfg, ref)
@@ -379,6 +379,13 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         unsteady_ls_tol = float(opts["ANKUnsteadyLSTol"])
         r_ank0 = rnorm
         n_reject = 0
+        # learned CFL ceiling: when the linear solver fails at CFL X, the
+        # SER target is beyond what the preconditioner supports — cap
+        # subsequent growth near X and release the cap slowly. Kills the
+        # grow-10x/fail/halve limit cycle the raw SER ramp produces once
+        # the PC saturates (reference ANK gets the same effect through
+        # lambda-based CFL reductions + jacobian lag).
+        cfl_cap = cfl_limit
         # best-state checkpoint: pseudo-time transients may raise the steady
         # residual legitimately, but a blow-up restores here
         best_w, best_r = wvec, rnorm
@@ -399,6 +406,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                    or float(umerit) > unsteady_ls_tol
                    or rnew_f > 100.0 * best_r)
             if bad:
+                cfl_cap = max(cfl * cutback, cfl_min)
                 cfl = max(cfl * cutback, cfl_min)
                 n_reject += 1
                 if rnew_f > 1e3 * best_r or not np.isfinite(rnew_f):
@@ -417,13 +425,17 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             # grow only when the linear solve met its tolerance, back off
             # when it degraded past ANKLinResMax
             if linres_f > lin_res_max:
+                cfl_cap = max(cfl * cutback, cfl_min)
                 cfl = max(cfl * cutback, cfl_min)
             elif linres_f <= 1.5 * lintol:
+                cfl_cap = min(cfl_cap * 1.2, cfl_limit)
                 cfl = min(
                     float(opts["ANKCFL0"]) * (r_ank0 / max(rnorm, 1e-30))
                     ** cfl_exp,
-                    cfl * cfl_factor, cfl_limit)
+                    cfl * cfl_factor, cfl_cap, cfl_limit)
                 cfl = max(cfl, cfl_min)
+            else:
+                cfl_cap = min(cfl_cap * 1.05, cfl_limit)
 
     # ---- NK phase ----
     if use_nk and not failed and rnorm > target:

@@ -84,7 +84,8 @@ def dadi_iteration(w_list, metrics_list, topo: MeshTopology,
     new = []
     for i, (w, m, r) in enumerate(zip(w0_list, metrics_list, r_list)):
         p = pressure(w)
-        rI, rJ, rK = spectral_radii(w, jnp.maximum(p, 1e-10), m)
+        rI, rJ, rK = spectral_radii(w, jnp.maximum(p, 1e-10), m,
+                                    cfg.ls_precon_mach)
         rs = (rI + rJ + rK)[1:-1, 1:-1, 1:-1]
         if cfg.viscous:
             rv = viscous_spectral_radii(w, m, cfg, ref)

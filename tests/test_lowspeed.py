@@ -1,0 +1,65 @@
+"""Low-speed (Weiss-Smith) preconditioner (reference:
+lowSpeedPreconditioner option, residuals.F90:172-331; validation class
+doc/verification.rst:26-50): a Mach 0.05 airfoil must converge with the PC
+on and produce the incompressible-limit CL, where the unpreconditioned
+central scheme's O(c/u) dissipation wrecks accuracy and stiffness."""
+
+import numpy as np
+import pytest
+
+from adflow_tpu.api.solver import ADFLOW
+from adflow_tpu.core.refstate import AeroProblem
+from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+
+@pytest.mark.slow
+def test_mach005_converges_with_pc():
+    mesh = naca0012_omesh(ni=96, nj=32)
+    opts = {
+        "equationType": "euler",
+        "lowSpeedPreconditioner": True,
+        "useANKSolver": True,
+        "useNKSolver": True,
+        "NKSwitchTol": 1e-4,
+        "L2Convergence": 1e-9,
+        "nCycles": 300,
+        "printIterations": False,
+        "printTiming": False,
+    }
+    solver = ADFLOW(options=opts, mesh=mesh)
+    ap = AeroProblem(name="ls", mach=0.05, alpha=2.0,
+                     evalFuncs=["cl", "cd"])
+    solver(ap)
+    info = solver.solve_info
+    assert info.total_r_final < 1e-8 * info.total_r0, info
+    funcs = {}
+    solver.evalFunctions(ap, funcs)
+    # incompressible thin-airfoil CL at alpha=2 deg on this mesh: the
+    # M=0.5 JST solution gives 0.2618; Prandtl-Glauert back to M~0 is
+    # ~0.245; the coarse mesh carries a few % more
+    assert 0.2 < funcs["ls_cl"] < 0.32, funcs
+    assert abs(funcs["ls_cd"]) < 0.02, funcs
+
+
+def test_precon_radii_limits():
+    """beta^2 = 1 must reproduce the unpreconditioned radii exactly."""
+    import jax.numpy as jnp
+    from adflow_tpu.geom.metrics import compute_metrics
+    from adflow_tpu.meshgen.analytic import cube_mesh
+    from adflow_tpu.physics.fluxes import spectral_radii
+    from adflow_tpu.physics.thermo import pressure
+    from adflow_tpu.core.refstate import make_reference_state
+
+    mesh = cube_mesh(n=6, perturb=0.2, seed=1)
+    m = compute_metrics(jnp.asarray(mesh.blocks[0].x))
+    ap = AeroProblem(name="x", mach=0.8, alpha=0.0)
+    ref = make_reference_state(ap, lift_index=2, n_turb=0)
+    winf = jnp.asarray(ref.winf())
+    w = jnp.broadcast_to(winf, tuple(d + 4 for d in mesh.blocks[0].dims)
+                         + (5,))
+    p = pressure(w)
+    r0 = spectral_radii(w, p, m)
+    # precon_mach large enough that beta^2 clips to 1 everywhere
+    r1 = spectral_radii(w, p, m, precon_mach=2.0)
+    for a, b in zip(r0, r1):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-10

@@ -109,3 +109,82 @@ def test_overset_freestream_preservation():
     r = residual_list(w_list, metrics, topo, cfg, ref, winf)
     for rb in r:
         assert float(jnp.max(jnp.abs(rb))) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Implicit hole cutting (round 3): no user callback — wall containment +
+# flooding (oversetAPI.F90 implicit path, floodInteriorCells.F90).
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+
+def _airfoil_in_box(ni=64, nj=16, n_bg=40, radius=1.5):
+    """NACA0012 O-mesh (JMAX -> overset receiver) inside a background
+    Cartesian block with farfield outer boundaries."""
+    near = naca0012_omesh(ni=ni, nj=nj, radius=radius,
+                          nk=2).blocks[0]
+    bcs = [( _dc.replace(sf, bc=BCType.OVERSET, family="ovs")
+            if sf.face is Face.JMAX else sf) for sf in near.bcs]
+    near = _dc.replace(near, bcs=bcs)
+
+    xs = np.linspace(-2.0, 3.0, n_bg + 1)
+    ys = np.linspace(-2.0, 2.0, n_bg + 1)
+    zs = near.x[0, 0, :, 2]
+    x = np.zeros((n_bg + 1, n_bg + 1, len(zs), 3))
+    x[..., 0] = xs[:, None, None]
+    x[..., 1] = ys[None, :, None]
+    x[..., 2] = zs[None, None, :]
+    bg = Block(
+        name="bg", x=x,
+        bcs=[BCSubface(Face.IMIN, BCType.FARFIELD, family="far"),
+             BCSubface(Face.IMAX, BCType.FARFIELD, family="far"),
+             BCSubface(Face.JMIN, BCType.FARFIELD, family="far"),
+             BCSubface(Face.JMAX, BCType.FARFIELD, family="far"),
+             BCSubface(Face.KMIN, BCType.SYMMETRY, family="sym"),
+             BCSubface(Face.KMAX, BCType.SYMMETRY, family="sym")])
+    return MultiBlockMesh(blocks=[near, bg], name="airfoil_box")
+
+
+def test_implicit_hole_cut():
+    """Background cells inside the airfoil must be blanked WITHOUT a user
+    callback; cells well away stay compute; no orphans."""
+    mesh = _airfoil_in_box()
+    tab = build_overset(mesh)           # no cut_callback
+    assert tab is not None
+    ib_bg = tab.iblank[1]
+    from adflow_tpu.overset.assembly import _cell_centers
+    c = _cell_centers(mesh.blocks[1].x)
+    # strictly inside the airfoil (max thickness 12% at x~0.3): holes
+    inside = ((np.abs(c[..., 1]) < 0.02)
+              & (c[..., 0] > 0.3) & (c[..., 0] < 0.6))
+    assert (ib_bg[inside] == IBLANK_HOLE).all(), "no holes inside the body"
+    # far from the body: compute
+    far = np.abs(c[..., 1]) > 1.0
+    assert (ib_bg[far] == IBLANK_COMPUTE).all()
+    assert tab.n_orphans == 0
+
+
+def test_implicit_overset_freestream():
+    """Free stream is preserved through the implicit-cut overset residual
+    (holes + fringes + interpolation all active)."""
+    mesh = _airfoil_in_box()
+    topo = build_topology(mesh)
+    assert any(bs.iblank is not None for bs in topo.blocks)
+    cfg = ProblemConfig(equation_type="euler", vis2=0.25, vis4=1 / 64.0,
+                        diss_exponent=0.67)
+    ap = AeroProblem(name="fs", mach=0.5, alpha=1.0)
+    ref = make_reference_state(ap, lift_index=2, n_turb=0)
+    winf = jnp.asarray(ref.winf())
+    metrics = [compute_metrics(jnp.asarray(b.x)) for b in mesh.blocks]
+    w = [jnp.broadcast_to(winf, tuple(d + 4 for d in b.dims) + (5,))
+         for b in mesh.blocks]
+    r = residual_list(w, metrics, topo, cfg, ref, winf)
+    # background (holes + fringe + flood) must be exactly free-stream
+    assert float(jnp.max(jnp.abs(r[1]))) < 1e-11
+    # the airfoil mesh preserves free stream away from its wall rows (a
+    # wall legitimately deflects uniform flow; same as the single-grid
+    # test_upwind freestream check)
+    assert float(jnp.max(jnp.abs(np.asarray(r[0])[:, 2:]))) < 1e-11

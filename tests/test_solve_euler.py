@@ -57,10 +57,11 @@ def test_golden_coefficients(solved):
     funcs = {}
     solver.evalFunctions(ap, funcs)
     # regression values (96x32 O-mesh, M=0.5, alpha=2deg, JST, wall
-    # porosities active)
-    np.testing.assert_allclose(funcs["n12_cl"], 0.261852207, rtol=1e-6)
-    np.testing.assert_allclose(funcs["n12_cd"], 0.007757516, rtol=1e-5)
-    np.testing.assert_allclose(funcs["n12_cmz"], 0.067756847, rtol=1e-5)
+    # porosities active; regenerated round 3 after the true-wrap-ghost-
+    # metrics change, geom/metrics.py compute_metrics_conn — shift 5e-6)
+    np.testing.assert_allclose(funcs["n12_cl"], 0.261850823, rtol=1e-6)
+    np.testing.assert_allclose(funcs["n12_cd"], 0.007757504, rtol=1e-5)
+    np.testing.assert_allclose(funcs["n12_cmz"], 0.067756188, rtol=1e-5)
 
 
 def test_physical_sanity(solved):
