@@ -57,14 +57,24 @@ def traced_reference_state(base: ReferenceState, params) -> ReferenceState:
         vel_dir = jnp.stack([ca * cb, -sb, sa * cb])
         lift_dir = jnp.stack([-sa, jnp.zeros_like(sa), ca])
     drag_dir = vel_dir
-    # mu_inf' = mach * L_re / Re at fixed Reynolds number
+    # mu_inf' = mach * L_re / Re: Mach and Reynolds DV chains
     re_over_l = (base.mu_inf / base.mach if base.mach > 0 and base.mu_inf > 0
                  else 0.0)
     mu_inf = mach * re_over_l
+    extra = {}
+    # extra design variables (reference DV index map, pyADflow.py:6444-6461:
+    # P, T, rot rates/center, ref point)
+    if "reynolds" in params and base.reynolds > 0:
+        mu_inf = mu_inf * (base.reynolds / params["reynolds"])
+    if "T" in params:
+        # dimensional T_inf drives the Sutherland ratio S/T_inf
+        extra["t_inf_dim"] = params["T"]
+    if "xref" in params:
+        extra["moment_ref"] = params["xref"]
     return dataclasses.replace(
         base, u_inf=mach * vel_dir, mu_inf=mu_inf,
         nu_tilde_inf=3.0 * mu_inf, vel_dir=vel_dir, drag_dir=drag_dir,
-        lift_dir=lift_dir, q_inf=0.5 * mach ** 2)
+        lift_dir=lift_dir, q_inf=0.5 * mach ** 2, **extra)
 
 
 def traced_winf(ref: ReferenceState):

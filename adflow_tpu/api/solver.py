@@ -273,6 +273,13 @@ class ADFLOW:
         tl = float(opt["timeLimit"])
         deadline = (t0 + tl) if tl > 0.0 else None
 
+        # SIGUSR1 = write-and-continue, SIGUSR2 = write-and-quit
+        # (reference: connect_signals.c:23-47, polled solvers.F90:1174)
+        from adflow_tpu.utils.signals import SignalMonitor
+        sigmon = SignalMonitor(
+            on_write=lambda: self.writeSolution(
+                baseName=f"{ap.name}_sig"))
+
         if opt["equationMode"].lower() == "unsteady":
             from adflow_tpu.solvers.unsteady import (
                 solve_unsteady_bdf, solve_unsteady_explicit_rk)
@@ -335,13 +342,15 @@ class ADFLOW:
 
         use_nk = bool(opt["useNKSolver"])
         use_ank = bool(opt["useANKSolver"])
+        self._sigmon = sigmon
+        sigmon.__enter__()
         if use_nk or use_ank:
             from adflow_tpu.solvers.newton import solve_newton_driver
             self.w_list, info = solve_newton_driver(
                 self.w_list, self.metrics_list, self.topo, self.cfg,
                 self.ref, self.winf, self.options,
                 extras_list=self.extras_list, monitor=monitor,
-                deadline=deadline)
+                deadline=deadline, signal_check=sigmon.check)
         elif str(opt["MGCycle"]).lower() not in ("sg", "none", ""):
             from adflow_tpu.solvers.multigrid import solve_mg
             self.w_list, info = solve_mg(
@@ -364,7 +373,9 @@ class ADFLOW:
                 l2_conv=float(opt["L2Convergence"]),
                 l2_conv_rel=float(opt["L2ConvergenceRel"]),
                 extras_list=self.extras_list, monitor=monitor,
-                smoother=str(opt["smoother"]), deadline=deadline)
+                smoother=str(opt["smoother"]), deadline=deadline,
+                signal_check=sigmon.check)
+        sigmon.__exit__()
         self.solve_info = info
         ap.solveFailed = bool(info.failed)
         ap.fatalFail = bool(info.failed)
@@ -709,23 +720,10 @@ class ADFLOW:
         self._finalize_actuator_sources()
 
     def _finalize_actuator_sources(self):
-        """Convert stored momentum sources into full (5,) source arrays
-        using the CURRENT velocity for the energy row (f . u)."""
-        for bi in range(len(self.mesh.blocks)):
-            ex = self.extras_list[bi]
-            if "act_src_momentum" not in ex:
-                continue
-            src_m = ex["act_src_momentum"]
-            if self.w_list is not None:
-                wi = self.w_list[bi][2:-2, 2:-2, 2:-2]
-                u = wi[..., 1:4] / wi[..., 0:1]
-            else:
-                u = jnp.zeros(src_m.shape[:-1] + (3,), src_m.dtype)
-            src = src_m.at[..., 4].set(
-                jnp.sum(src_m[..., 1:4] * u, axis=-1))
-            ex = dict(ex)
-            ex["act_src"] = src
-            self.extras_list[bi] = ex
+        """No-op kept for API stability: the energy row f . u is now
+        evaluated per residual evaluation inside block_residual from the
+        live state (residuals.F90:348 behavior), so nothing to fold."""
+        return
 
     def getHeatFluxes(self, groupName: Optional[str] = None):
         """Wall heat flux per wall face, q = k dT/dn (reference:
@@ -828,9 +826,18 @@ class ADFLOW:
         return self._afns
 
     def _ap_params(self, ap: AeroProblem):
-        return {"alpha": jnp.asarray(ap.alpha, self.dtype),
-                "beta": jnp.asarray(ap.beta, self.dtype),
-                "mach": jnp.asarray(ap.mach, self.dtype)}
+        """Differentiable design-variable dict (the reference's extra-DV
+        index map alpha/beta/mach + P, T, Re, ref point —
+        pyADflow.py:6444-6461)."""
+        out = {"alpha": jnp.asarray(ap.alpha, self.dtype),
+               "beta": jnp.asarray(ap.beta, self.dtype),
+               "mach": jnp.asarray(ap.mach, self.dtype),
+               "T": jnp.asarray(ap.T, self.dtype),
+               "xref": jnp.asarray([ap.xRef, ap.yRef, ap.zRef],
+                                   self.dtype)}
+        if ap.reynolds and ap.reynolds > 0:
+            out["reynolds"] = jnp.asarray(ap.reynolds, self.dtype)
+        return out
 
     def _wx_vecs(self):
         fns = self._adjoint_fns()
@@ -890,8 +897,13 @@ class ADFLOW:
                 "alpha": float(gI_p["alpha"] - gR_p["alpha"]),
                 "beta": float(gI_p["beta"] - gR_p["beta"]),
                 "mach": float(gI_p["mach"] - gR_p["mach"]),
+                "T": float(gI_p["T"] - gR_p["T"]),
+                "xref": np.asarray(gI_p["xref"] - gR_p["xref"]),
                 "xv": np.asarray(gI_x - gR_x),
             }
+            if "reynolds" in params:
+                sens["reynolds"] = float(gI_p["reynolds"]
+                                         - gR_p["reynolds"])
             funcsSens[f"{ap.name}_{name}"] = sens
         return funcsSens
 

@@ -189,6 +189,7 @@ class ReferenceState:
     n_turb: int               # number of turbulence variables carried in w
     k_inf: float = 0.0        # SST freestream k (nondim)
     omega_inf: float = 1.0    # SST freestream omega (nondim)
+    reynolds: float = 0.0     # the AP Reynolds number (0 = inviscid)
     # wall-function wall treatment (reference: useWallFunctions option,
     # solverUtils.F90:2483 computeUtau + turbCurveFits.F90): when True,
     # viscous wall ghost velocities are scaled so the wall face produces
@@ -237,4 +238,5 @@ def make_reference_state(ap: AeroProblem, lift_index: int = 2,
         q_inf=0.5 * ap.mach ** 2, area_ref=ap.areaRef, chord_ref=ap.chordRef,
         moment_ref=np.array([ap.xRef, ap.yRef, ap.zRef]), n_turb=n_turb,
         k_inf=k_inf, omega_inf=omega_inf,
+        reynolds=float(ap.reynolds or 0.0),
     )

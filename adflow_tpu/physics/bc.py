@@ -213,7 +213,8 @@ def _wall_fn_ghost_momentum(wi, nhat, ref, aux):
     tangential ghost velocity is scaled so the wall-face gradient delivers
     tau_w = rho u_tau^2 from Spalding's law instead of the under-resolved
     linear gradient (y+ >> 1 meshes). In the resolved limit u_tau ->
-    sqrt(nu |u_t|/d1) and beta -> 1, recovering exact no-slip mirroring."""
+    sqrt(nu |u_t|/d1) and beta -> 1, recovering exact no-slip mirroring.
+    Side effect: stores u_tau and d1 in aux for the turbulence wall anchor."""
     rho = wi[..., IRHO]
     v = wi[..., IMX:IMZ + 1] / rho[..., None]
     vn = jnp.sum(v * nhat, axis=-1, keepdims=True) * nhat
@@ -225,9 +226,21 @@ def _wall_fn_ghost_momentum(wi, nhat, ref, aux):
     nu = mu / rho
     d1 = jnp.maximum(0.5 * aux["dn"], 1e-12)
     ut = spalding_utau(vt_mag, d1, nu)
+    aux["utau"], aux["d1"] = ut, d1
     tau_w = rho * ut ** 2
-    beta = tau_w * d1 / (mu * jnp.maximum(vt_mag, 1e-12))
-    beta = jnp.maximum(beta, 1.0)
+    # calibrate the ghost scaling against the viscosity the wall FACE flux
+    # will actually use: mu_face = 0.5 (mu_eff_int + mu_ghost) with the
+    # ghost carrying zero eddy viscosity (nuTilde_g < 0). Without the eddy
+    # part, the delivered shear overshoots rho u_tau^2 by mu_eff/mu (~1.5x
+    # at y+ ~ 30, measured on the turbulent flat plate).
+    if wi.shape[-1] > ITURB:
+        from adflow_tpu.physics.sa import eddy_viscosity
+        mut_i = eddy_viscosity(wi, mu)
+        mu_face = mu + 0.5 * mut_i
+    else:
+        mu_face = mu
+    beta = tau_w * d1 / (mu_face * jnp.maximum(vt_mag, 1e-12))
+    beta = jnp.maximum(beta, mu / mu_face)   # resolved limit: no-slip mirror
     vg = v - vn - 2.0 * beta[..., None] * vt - vn
     return rho[..., None] * vg
 
@@ -272,8 +285,9 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
         # no-slip: opposite velocity, same rho/energy; turb -> -interior so
         # the wall value is zero (BCRoutines.F90:489 bcNSWallAdiabatic);
         # moving wall: ghost velocity = 2 uwall - u_int
-        if (ref.wall_fn and uwall is None and aux is not None
-                and "dn" in aux):
+        wf_on = (ref.wall_fn and uwall is None and aux is not None
+                 and "dn" in aux)
+        if wf_on:
             mg = _wall_fn_ghost_momentum(wi, nhat, ref, aux)
         else:
             mg = -wi[..., IMX:IMZ + 1]
@@ -293,7 +307,16 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
         out = jnp.concatenate(
             [wi[..., IRHO:IRHO + 1], mg, rhoe], axis=-1)
         if wi.shape[-1] > ITURB:
-            out = jnp.concatenate([out, -wi[..., ITURB:]], axis=-1)
+            turb = -wi[..., ITURB:]
+            if wf_on and wi.shape[-1] == ITURB + 1:
+                # SA wall-function anchor (turbCurveFits.F90 role): the
+                # under-resolved first cell cannot build the log-layer
+                # nuTilde = kappa u_tau y by transport alone; mirror the
+                # LINEAR log-layer profile instead of the resolved value:
+                # ghost center at -d1 -> nuTilde_g = -kappa u_tau d1
+                nt_g = -KARMAN_WF * aux["utau"] * aux["d1"]
+                turb = nt_g[..., None]
+            out = jnp.concatenate([out, turb], axis=-1)
         return out
 
     if bc is BCType.NS_WALL_ISOTHERMAL:

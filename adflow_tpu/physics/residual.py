@@ -265,6 +265,17 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
         # SUBTRACT from R)
         src = extras["act_src"]
         r = r.at[..., :5].add(-src)
+    if extras and "act_src_momentum" in extras:
+        # momentum sources with the energy row f . u evaluated at the
+        # CURRENT state — the reference adds f.u per residual evaluation
+        # (residuals.F90:348); folding it at registration time freezes the
+        # velocity and corrupts the energy equation as the solve converges
+        fm = extras["act_src_momentum"]
+        wi_ = w[2:-2, 2:-2, 2:-2]
+        u_ = wi_[..., 1:4] / wi_[..., 0:1]
+        en = jnp.sum(fm[..., 1:4] * u_, axis=-1)
+        r = r.at[..., 1:4].add(-fm[..., 1:4])
+        r = r.at[..., 4].add(-(fm[..., 4] + en))
     return r
 
 

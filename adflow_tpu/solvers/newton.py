@@ -311,7 +311,8 @@ def make_nk_step(fns: NewtonFns, opts):
 
 def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                         extras_list=None, monitor=None,
-                        deadline: Optional[float] = None):
+                        deadline: Optional[float] = None,
+                        signal_check=None):
     import time as _time
     fns = build_newton_fns(w_list, metrics_list, topo, cfg, ref, winf,
                            extras_list)
@@ -358,7 +359,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             cfl=float(opts["CFL"]), n_cycles=n_cycles,
             l2_conv=rk_target / max(r0, 1e-30),
             extras_list=extras_list, monitor=monitor, total_r0=r0,
-            smoother=str(opts["smoother"]), deadline=deadline)
+            smoother=str(opts["smoother"]), deadline=deadline,
+            signal_check=signal_check)
         wvec = fns.packer.pack_w(w_list)
         hist.append(info.history)
         it += info.iterations
@@ -393,6 +395,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             if use_nk and rnorm <= nk_switch:
                 break
             if deadline is not None and _time.time() >= deadline:
+                break
+            if signal_check is not None and signal_check() == "stop":
                 break
             wnew, rn, rnew, alpha, kiters, linres, umerit = ank_step(
                 wvec, jnp.asarray(cfl, dtype))
@@ -447,6 +451,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         r_prev = rnorm
         while it < n_cycles and rnorm > target and not failed:
             if deadline is not None and _time.time() >= deadline:
+                break
+            if signal_check is not None and signal_check() == "stop":
                 break
             wnew, rn, rnew, alpha, kiters, linres = nk_step(
                 wvec, jnp.asarray(eta, dtype))

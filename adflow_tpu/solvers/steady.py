@@ -75,7 +75,8 @@ def solve_rk(w_list, metrics_list, topo, cfg, ref, winf,
              monitor: Optional[Callable] = None,
              total_r0: Optional[float] = None,
              smoother: str = "runge-kutta",
-             deadline: Optional[float] = None):
+             deadline: Optional[float] = None,
+             signal_check=None):
     """Explicit/ADI smoother to steady state. Returns (w_list, SolveInfo).
 
     deadline: absolute time.time() after which the loop stops (reference:
@@ -103,6 +104,8 @@ def solve_rk(w_list, metrics_list, topo, cfg, ref, winf,
             break
         if rnow <= l2_conv * r0 or rnow <= l2_conv_rel:
             converged = True
+            break
+        if signal_check is not None and signal_check() == "stop":
             break
         if deadline is not None and time.time() >= deadline:
             break

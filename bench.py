@@ -30,11 +30,16 @@ vs_baseline = headline Mcell-evals/s / 2.0.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 V5E_HBM_PEAK_GBS = 819.0
+PALLAS_PROBE = "--pallas-probe" in sys.argv
+SOLVE_PROBE = "--solve-probe" in sys.argv
 
 
 def _timeit(f, *args, reps: int = 3):
@@ -118,17 +123,63 @@ def residual_throughput(detail):
     w = jnp.broadcast_to(
         winf, tuple(dd + 4 for dd in b.dims) + (ref.nw,)).astype(jnp.float32)
 
-    # pallas measured LAST and kernel-only: this XLA stack miscompiles
-    # modules that combine the halo-fill scatter chain with the Mosaic
-    # kernel (device fault + wedged process — see ops/pallas_rans.py), so
-    # the apples-to-apples kernel comparison is (xla_kernel, pallas_kernel)
-    # and the headline full-evaluation number comes from the with-fill
-    # variants that survive.
+    variants = (("xla_full", False, True), ("xla_kernel", False, False))
+    if PALLAS_PROBE:
+        # subprocess mode: ONLY the Mosaic kernel, scan-free, with a
+        # correctness gate — scan-wrapped Mosaic calls have produced both
+        # device faults and silently-elided work on this stack, so the
+        # probe times a direct call and only reports numbers whose output
+        # matches the XLA path.
+        cfg_p = ProblemConfig(
+            equation_type="rans", vis2=0.25, vis4=1.0 / 64.0,
+            diss_exponent=0.67, turbulence_model="sa", turb_res_scale=1e4,
+            use_pallas=True)
+        cfg_x = ProblemConfig(
+            equation_type="rans", vis2=0.25, vis4=1.0 / 64.0,
+            diss_exponent=0.67, turbulence_model="sa", turb_res_scale=1e4,
+            use_pallas=False)
+
+        def one(cfg_):
+            @jax.jit
+            def f(w, siE, sjE, skE, vol, xc, dd, pI, pJ, pK):
+                m = BlockMetrics(siE=siE, sjE=sjE, skE=skE, vol=vol,
+                                 xc_ext=xc)
+                return block_residual(w, m, cfg_, ref, {"walldist": dd},
+                                      por=(pI, pJ, pK))
+            return f
+
+        b0 = mesh.blocks[0]
+        key = jax.random.PRNGKey(0)
+        wr = jnp.broadcast_to(
+            winf, tuple(dd + 4 for dd in b0.dims) + (ref.nw,)
+        ).astype(jnp.float32)
+        wr = wr * (1.0 + 0.01 * jax.random.normal(key, wr.shape,
+                                                  jnp.float32))
+        out = {}
+        fp = one(cfg_p)
+        fx = one(cfg_x)
+        rp = fp(wr, *static_args)
+        rp.block_until_ready()
+        rx = fx(wr, *static_args)
+        err = float(jnp.max(jnp.abs(rp - rx))
+                    / jnp.maximum(jnp.max(jnp.abs(rx)), 1e-30))
+        out["pallas_kernel"] = {"max_rel_err_vs_xla": round(err, 8)}
+        if err < 1e-3:
+            dt = _timeit(fp, wr, *static_args, reps=5)
+            dtx = _timeit(fx, wr, *static_args, reps=5)
+            out["pallas_kernel"].update(
+                ms_per_eval=round(dt * 1e3, 3),
+                mcell_evals_per_s=round(n_cells / dt / 1e6, 2))
+            out["xla_kernel_single_eval"] = {
+                "ms_per_eval": round(dtx * 1e3, 3),
+                "mcell_evals_per_s": round(n_cells / dtx / 1e6, 2)}
+        else:
+            out["pallas_kernel"]["error"] = "output mismatch vs XLA"
+        detail["throughput"] = out
+        detail["n_cells"] = n_cells
+        return 0.0
     best = {}
-    for name, use_pallas, with_fill in (("xla_full", False, True),
-                                        ("xla_kernel", False, False),
-                                        ("pallas_kernel", True, False),
-                                        ("pallas_full", True, True)):
+    for name, use_pallas, with_fill in variants:
         try:
             fn = make_fn(use_pallas, with_fill)
             dt = _timeit(fn, w, *static_args) / reps
@@ -145,7 +196,7 @@ def residual_throughput(detail):
             except Exception:
                 pass
             best[name] = entry
-        except Exception as e:  # pallas+fill module faults (known)
+        except Exception as e:
             best[name] = {"error": str(e)[:120]}
             break   # a Mosaic fault wedges the process: stop probing
     detail["throughput"] = best
@@ -215,6 +266,17 @@ def solve_bench(detail):
 def main():
     import jax
 
+    if PALLAS_PROBE:
+        detail = {}
+        residual_throughput(detail)
+        print(json.dumps(detail["throughput"]))
+        return
+    if SOLVE_PROBE:
+        detail = {}
+        solve_bench(detail)
+        print(json.dumps(detail["solve"]))
+        return
+
     detail = {"platform": jax.devices()[0].platform,
               "device": str(jax.devices()[0])}
     try:
@@ -222,10 +284,38 @@ def main():
     except Exception as e:
         detail["throughput_error"] = str(e)[:200]
         mcell = 0.0
+    # solve in its own subprocess: the remote-compile service flakes on
+    # the large f64 modules and a failure must not poison the process
     try:
-        solve_bench(detail)
+        pr = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--solve-probe"],
+            capture_output=True, text=True, timeout=2900)
+        for line in pr.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                detail["solve"] = json.loads(line)
+                break
+        else:
+            detail["solve_error"] = (pr.stderr.strip()[-200:]
+                                     or f"rc={pr.returncode}")
     except Exception as e:
         detail["solve_error"] = str(e)[:200]
+    # Mosaic-kernel variants in a throwaway subprocess (fault isolation)
+    try:
+        pr = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pallas-probe"],
+            capture_output=True, text=True, timeout=1500)
+        for line in pr.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                pal = json.loads(line)
+                detail["throughput"].update(pal)
+                break
+        else:
+            detail["throughput"]["pallas_probe_error"] = (
+                pr.stderr.strip()[-160:] or f"rc={pr.returncode}")
+    except Exception as e:
+        detail["throughput"]["pallas_probe_error"] = str(e)[:160]
 
     baseline_mcell_evals = 2.0  # per CPU proc, module docstring
     print(json.dumps({

@@ -97,3 +97,33 @@ def test_adjoint_shape_sensitivity_shape(solved):
     assert xv.shape == (sum(x.size for x in s.x_list),)
     assert np.all(np.isfinite(xv))
     assert np.abs(xv).max() > 0.0
+
+
+def test_extra_dv_xref_sensitivity():
+    """d(cmz)/d(xref) from the adjoint path matches finite differences of
+    the functional (the state is xref-independent, so FD needs no re-solve).
+    Reference: the extra-DV set, pyADflow.py:6444-6461."""
+    from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+    mesh = naca0012_omesh(ni=48, nj=16)
+    solver = ADFLOW(options=dict(OPTS), mesh=mesh)
+    ap = AeroProblem(name="dv", mach=0.5, alpha=2.0, xRef=0.25,
+                     evalFuncs=["cmz"])
+    solver(ap)
+    sens = {}
+    solver.evalFunctionsSens(ap, sens, evalFuncs=["cmz"])
+    g = sens["dv_cmz"]["xref"]
+    assert np.all(np.isfinite(g))
+    # analytic identity: M = sum (xc - xref) x F, so
+    # d(cmz)/d(xref_x) = -sum Fy / (q S c) = -cl / chordRef
+    funcs = {}
+    solver.evalFunctions(ap, funcs, evalFuncs=["cl", "cd"])
+    a = np.radians(ap.alpha)
+    # body-frame y force = L cos(a) + D sin(a) (wind-frame cl/cd)
+    expect = -(funcs["dv_cl"] * np.cos(a)
+               + funcs["dv_cd"] * np.sin(a)) / ap.chordRef
+    assert abs(g[0] - expect) < 1e-9 * max(abs(expect), 1.0), (g[0], expect)
+    # d(cmz)/d(xref_y) = +sum Fx / (q S c) = +cd-direction force / chord
+    # (exact for the body-axis force decomposition)
+    # T sensitivity exists and is zero for Euler (no viscosity chain)
+    assert abs(sens["dv_cmz"]["T"]) < 1e-12
