@@ -473,10 +473,13 @@ class ADFLOW:
                       "Pressure")
 
     def _solution_dicts(self):
-        """Per-block cell-centered solution dicts (primitive + extras)."""
+        """Per-block cell-centered solution dicts: the restart-required
+        variables always, plus the ``volumeVariables`` menu (reference:
+        volume variable menu, output/outputMod.F90:319-741)."""
+        menu = [str(v).lower() for v in self.options["volumeVariables"]]
         out = []
         wf = self._filled_w()
-        for w in wf:
+        for bi, w in enumerate(wf):
             wi = np.asarray(w[2:-2, 2:-2, 2:-2])
             rho = wi[..., 0]
             vel = wi[..., 1:4] / rho[..., None]
@@ -494,38 +497,154 @@ class ADFLOW:
             elif self.cfg.n_turb == 2:
                 d["TurbulentEnergyKinetic"] = wi[..., 5]
                 d["TurbulentDissipationRate"] = wi[..., 6]
+            if "temp" in menu:
+                d["Temperature"] = 1.4 * p / rho
+            if ("eddy" in menu or "eddyratio" in menu) and self.cfg.rans                     and self.cfg.turbulence_model == "sa":
+                from adflow_tpu.physics.sa import eddy_viscosity
+                from adflow_tpu.physics.thermo import laminar_viscosity
+                import jax.numpy as _jnp
+                t = 1.4 * p / rho
+                mu = np.asarray(laminar_viscosity(
+                    _jnp.asarray(t), self.ref.mu_inf, self.ref.t_inf_dim))
+                mut = np.asarray(eddy_viscosity(
+                    _jnp.asarray(wi), _jnp.asarray(mu)))
+                if "eddy" in menu:
+                    d["EddyViscosity"] = mut
+                if "eddyratio" in menu:
+                    d["RatioEddyViscosity"] = mut / np.maximum(mu, 1e-300)
+            if "dist" in menu and self.extras_list is not None:
+                dd = self.extras_list[bi].get("walldist")
+                if dd is not None:
+                    d["WallDistance"] = np.asarray(dd)[1:-1, 1:-1, 1:-1]
+            if "blank" in menu:
+                ib = self.topo.blocks[bi].iblank
+                if ib is not None:
+                    d["Iblank"] = np.asarray(ib)[..., 0]
+            if "resrho" in menu or "resmom" in menu or "restot" in menu:
+                r = residual_list(wf, self.metrics_list, self.topo,
+                                  self.cfg, self.ref, self.winf,
+                                  self.extras_list)[bi]
+                rr = np.asarray(r)
+                if "resrho" in menu:
+                    d["ResidualDensity"] = rr[..., 0]
+                if "resmom" in menu:
+                    for c, nm in enumerate("XYZ"):
+                        d[f"ResidualMomentum{nm}"] = rr[..., 1 + c]
+                if "restot" in menu:
+                    d["ResidualTotal"] = np.linalg.norm(rr, axis=-1)
             out.append(d)
         return out
 
     def writeVolumeSolutionFile(self, fileName: str, writeGrid: bool = True):
         from adflow_tpu.io.cgns import write_cgns
-        write_cgns(self.mesh, fileName, solutions=self._solution_dicts())
+        hist = None
+        if self.options["storeConvHist"] and self.solve_info is not None:
+            h = self.getConvergenceHistory()
+            hist = {"RSDMassRMS": h["resrho"],
+                    "RSDTurbulentRMS": h["resturb"]}
+        write_cgns(self.mesh, fileName, solutions=self._solution_dicts(),
+                   conv_hist=hist)
 
     def writeMeshFile(self, fileName: str):
         from adflow_tpu.io.cgns import write_cgns
         write_cgns(self.mesh, fileName)
 
     def writeSurfaceSolutionFile(self, fileName: str):
-        """Tecplot ASCII surface file: one zone per wall patch with
-        x, y, z, Cp (reference: writeCGNSSurface / tecplotIO)."""
+        """Tecplot ASCII surface file: one zone per wall patch carrying the
+        ``surfaceVariables`` menu (reference: surface variable menu,
+        output/outputMod.F90 + tecplotIO; cp/rho/P/temp/mach/v/cf/yplus)."""
+        from adflow_tpu.core.mesh import VISCOUS_WALL_BCS
+        from adflow_tpu.physics.surface import wall_viscous_tractions
+        from adflow_tpu.physics.thermo import pressure as _pr
+
+        menu = [str(v).lower() for v in self.options["surfaceVariables"]]
         wf = self._filled_w()
+        visc_cache = {}
+        names = ["Cp"]
+        want_v = any(v in menu for v in ("vx", "vy", "vz"))
+        if want_v:
+            names += ["VelocityX", "VelocityY", "VelocityZ"]
+        if "mach" in menu:
+            names.append("Mach")
+        if "rho" in menu:
+            names.append("Density")
+        if "p" in menu:
+            names.append("Pressure")
+        if "temp" in menu:
+            names.append("Temperature")
+        want_cf = any(v in menu for v in ("cf", "cfx", "cfy", "cfz",
+                                          "yplus")) and self.cfg.viscous
+        if want_cf:
+            names += ["Cf", "CfX", "CfY", "CfZ", "YPlus"]
         with open(fileName, "w") as f:
             f.write('TITLE = "adflow_tpu surface solution"\n')
-            f.write('VARIABLES = "X" "Y" "Z" "Cp"\n')
+            f.write('VARIABLES = "X" "Y" "Z" '
+                    + " ".join(f'"{n}"' for n in names) + "\n")
+            nvar = 3 + len(names)
+            cellvars = ",".join(str(i) for i in range(4, nvar + 1))
             for pi, patch in enumerate(self.wall_patches):
                 x = np.asarray(self.x_list[patch.block][patch.fnode_sl])
                 w = wf[patch.block]
-                from adflow_tpu.physics.thermo import pressure as _pr
-                p_face = 0.5 * (np.asarray(_pr(w[patch.int_sl]))
-                                + np.asarray(_pr(w[patch.ghost_sl])))
-                cp = (p_face - self.ref.p_inf) / max(self.ref.q_inf, 1e-30)
+                m = self.metrics_list[patch.block]
+                wi = np.asarray(w[patch.int_sl])
+                wg = np.asarray(w[patch.ghost_sl])
+                p_face = 0.5 * (np.asarray(_pr(jnp.asarray(wi)))
+                                + np.asarray(_pr(jnp.asarray(wg))))
+                cols = [(p_face - self.ref.p_inf)
+                        / max(self.ref.q_inf, 1e-30)]
+                vel = wi[..., 1:4] / wi[..., 0:1]
+                if want_v:
+                    cols += [vel[..., 0], vel[..., 1], vel[..., 2]]
+                if "mach" in menu:
+                    cols.append(np.linalg.norm(vel, axis=-1)
+                                / np.sqrt(1.4 * p_face / wi[..., 0]))
+                if "rho" in menu:
+                    cols.append(0.5 * (wi[..., 0] + wg[..., 0]))
+                if "p" in menu:
+                    cols.append(p_face)
+                if "temp" in menu:
+                    cols.append(1.4 * p_face / (0.5 * (wi[..., 0]
+                                                       + wg[..., 0])))
+                if want_cf:
+                    s_ = (m.si, m.sj, m.sk)[patch.axis]
+                    da = np.linalg.norm(np.asarray(s_[patch.face_sl]),
+                                        axis=-1)
+                    qs = max(0.5 * self.ref.mach ** 2, 1e-30)
+                    if patch.bc in VISCOUS_WALL_BCS:
+                        ex = (self.extras_list[patch.block]
+                              if self.extras_list else None)
+                        df = np.asarray(wall_viscous_tractions(
+                            w, m, self.cfg, self.ref, patch, extras=ex,
+                            cache=visc_cache))
+                        tau = df / np.maximum(da, 1e-300)[..., None]
+                        taumag = np.linalg.norm(tau, axis=-1)
+                    else:
+                        tau = np.zeros(da.shape + (3,))
+                        taumag = np.zeros_like(da)
+                    cols += [taumag / qs, tau[..., 0] / qs,
+                             tau[..., 1] / qs, tau[..., 2] / qs]
+                    # y+ = d1 * utau / nu with utau = sqrt(tau_w / rho)
+                    from adflow_tpu.physics.thermo import laminar_viscosity
+                    t_i = 1.4 * np.asarray(
+                        _pr(jnp.asarray(wi))) / wi[..., 0]
+                    mu = np.asarray(laminar_viscosity(
+                        jnp.asarray(t_i), self.ref.mu_inf,
+                        self.ref.t_inf_dim))
+                    vol1 = np.asarray(m.vol[patch.int_sl])
+                    d1 = 0.5 * vol1 / np.maximum(da, 1e-300)
+                    utau = np.sqrt(np.maximum(taumag, 0.0) / wi[..., 0])
+                    cols.append(d1 * utau * wi[..., 0]
+                                / np.maximum(mu, 1e-300))
                 n1, n2 = x.shape[:2]
                 f.write(f'ZONE T="patch{pi}" I={n1} J={n2} '
-                        f'DATAPACKING=BLOCK, VARLOCATION=([4]=CELLCENTERED)\n')
+                        f'DATAPACKING=BLOCK, '
+                        f'VARLOCATION=([{cellvars}]=CELLCENTERED)\n')
                 for dcomp in range(3):
                     np.savetxt(f, x[..., dcomp].T.reshape(-1)[None],
                                fmt="%.12e")
-                np.savetxt(f, cp.T.reshape(-1)[None], fmt="%.12e")
+                for c in cols:
+                    np.savetxt(f, np.asarray(c).T.reshape(-1)[None],
+                               fmt="%.12e")
 
     def writeSolution(self, outputDir: Optional[str] = None,
                       baseName: Optional[str] = None, number=None):

@@ -310,7 +310,8 @@ def _donor_face(prd, tr, face) -> Face:
 
 def write_cgns(mesh: MultiBlockMesh, path: str,
                solutions: Optional[Sequence[Dict[str, np.ndarray]]] = None,
-               sol_name: str = "FlowSolution") -> None:
+               sol_name: str = "FlowSolution",
+               conv_hist: Optional[Dict[str, np.ndarray]] = None) -> None:
     """Write mesh (+ optional per-block cell-centered solutions) as
     CGNS-HDF5. ``solutions[i]`` maps variable name -> (ni, nj, nk) array.
 
@@ -334,6 +335,16 @@ def write_cgns(mesh: MultiBlockMesh, path: str,
                     np.array([3.40], np.float32))
         base = _write_node(f, "Base", "CGNSBase_t", "I4",
                            np.array([3, 3], np.int32))
+        if conv_hist:
+            # reference: convergence history written into solution files
+            # (monitor convArray -> CGNS ConvergenceHistory_t)
+            n_it = max(len(np.asarray(v)) for v in conv_hist.values())
+            ch = _write_node(base, "GlobalConvergenceHistory",
+                             "ConvergenceHistory_t", "I4",
+                             np.array([n_it], np.int32))
+            for vname, arr in conv_hist.items():
+                _write_node(ch, vname, "DataArray_t", "R8",
+                            np.asarray(arr, np.float64))
 
         for bi, blk in enumerate(mesh.blocks):
             ni, nj, nk = blk.dims

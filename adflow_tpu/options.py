@@ -213,9 +213,8 @@ _INERT_OPTIONS = {
     "useOversetWallScaling", "selfZipCutoff", "backgroundVolScale",
     "overlapFactor", "oversetLoadBalance", "alphaMode",
     "useALE", "wallDistCutoff",
-    "storeConvHist", "rkReset", "RKReset", "turbulenceOrder",
+    "rkReset", "RKReset", "turbulenceOrder",
     # --- pending features (tracked; remove from here when implemented) ---
-    "surfaceVariables", "volumeVariables",       # output variable menus
     "flowType",                                   # internal-flow mode
     "useQCR",                                     # SA-QCR stress correction
 

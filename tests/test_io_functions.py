@@ -104,3 +104,35 @@ def test_solve_cl_secant():
     funcs = {}
     s.evalFunctions(ap, funcs, evalFuncs=["cl"])
     assert abs(funcs["clt_cl"] - 0.2) < 2e-4
+
+
+def test_output_variable_menus(tmp_path):
+    """surfaceVariables/volumeVariables menus + convergence history in the
+    CGNS file (reference: outputMod.F90:319-741 variable menus; convArray
+    written to solution files)."""
+    import h5py
+    from adflow_tpu.meshgen.analytic import flatplate_mesh
+
+    mesh = flatplate_mesh(ni=24, nj=12, wall_spacing=1e-3)
+    solver = ADFLOW(options={
+        "equationType": "laminar NS", "nCycles": 20, "ANKSwitchTol": 1.5,
+        "printIterations": False, "printTiming": False,
+        "surfaceVariables": ["cp", "vx", "vy", "vz", "cf", "yplus"],
+        "volumeVariables": ["resrho", "temp"],
+        "outputDirectory": str(tmp_path)}, mesh=mesh)
+    ap = AeroProblem(name="mn", mach=0.2, reynolds=1e4, reynoldsLength=1.0,
+                     T=288.15)
+    solver(ap)
+    solver.writeSolution()
+    with h5py.File(tmp_path / "mn_vol.cgns", "r") as f:
+        assert "GlobalConvergenceHistory" in f["Base"]
+        zone = [k for k in f["Base"]
+                if isinstance(f["Base"][k], h5py.Group)
+                and "FlowSolution" in f["Base"][k]][0]
+        sol = f["Base"][zone]["FlowSolution"]
+        for name in ("Density", "Pressure", "ResidualDensity",
+                     "Temperature"):
+            assert name in sol, list(sol)
+    hdr = open(tmp_path / "mn_surf.dat").readlines()[1]
+    for name in ("Cp", "Cf", "YPlus", "VelocityX"):
+        assert name in hdr
