@@ -173,17 +173,47 @@ def solve_adjoint_system(fns: AdjointFns, solver, wvec, xvec, params,
         return vjp_w(v)[0]
 
     nfns = solver._newton_fns()
-    precond = _transposed_line_pc(nfns, wvec)
+    pc_kind = str(solver.options["adjointGlobalPreconditioner"]).lower()
+    if pc_kind == "multigrid":
+        precond = _transposed_amg_pc(nfns, solver, wvec)
+    else:
+        precond = _transposed_line_pc(nfns, wvec)
     sol = gmres(matvec, rhs, x0=psi0, m=subspace, restarts=restarts,
                 tol=tol, atol=abs_tol or 0.0, precond=precond)
     return sol
 
 
+def _transposed_amg_pc(nfns, solver, wvec):
+    """M^-T via the Galerkin stencil multigrid with every level transposed
+    (adjointGlobalPreconditioner='multigrid'; Galerkin commutes with
+    transpose for R = P^T, solvers/amg.py stencil_transpose)."""
+    from adflow_tpu.solvers.amg import amg_pc_apply, build_amg_pc
+
+    opt = solver.options
+    axes = opt["linePCAxes"]
+    axes = (1, 0, 2) if (axes == "auto" or axes is None) else tuple(axes)
+    w_list_f, rs_list = nfns.rad_sum_cells(wvec)
+    data_list = [
+        build_amg_pc(w, m, solver.cfg, solver.ref,
+                     dtinv=rs / jnp.asarray(1e6, wvec.dtype),
+                     levels=int(opt["adjointAMGLevels"]),
+                     n_smooth=int(opt["adjointAMGNSmooth"]),
+                     axes=axes, kappa=float(opt["linePCKappa"]),
+                     transpose=True)
+        for w, m, rs in zip(w_list_f, solver.metrics_list, rs_list)]
+
+    def precond(v):
+        vb = nfns.packer.unpack(v)
+        return nfns.packer.pack(
+            [amg_pc_apply(d, vv) for d, vv in zip(data_list, vb)])
+
+    return precond
+
+
 def _transposed_line_pc(nfns, wvec):
     """M^-T for the block line-implicit PC: transpose each block factor and
-    reverse the sweep order (solvers/linpc.py)."""
-    from adflow_tpu.solvers.linpc import LinePCData, block_tridiag_solve
-    from adflow_tpu.solvers.dadi import tridiag_solve
+    reverse the sweep order (solvers/linpc.py line_pc_apply_transposed)."""
+    from adflow_tpu.solvers.linpc import line_pc_apply_transposed
 
     # build the same PC data as NK uses (large pseudo-CFL regularization);
     # built eagerly — building lazily inside the traced GMRES loop leaks
@@ -192,42 +222,8 @@ def _transposed_line_pc(nfns, wvec):
 
     def precond(v):
         vb = nfns.packer.unpack(v)
-        out = []
-        for data, vv in zip(data_list, vb):
-            z = vv
-            for i in reversed(range(len(data.axes))):
-                ax = data.axes[i]
-                L, D, U = data.mean[i]
-                # transpose of tridiag(L, D, U): blocks transposed, L/U
-                # swapped with a one-cell shift along the line
-                LT = jnp.swapaxes(U, -1, -2)
-                LT = jnp.roll(LT, 1, axis=0).at[0].set(jnp.zeros_like(LT[0]))
-                UT = jnp.swapaxes(L, -1, -2)
-                UT = jnp.roll(UT, -1, axis=0).at[-1].set(
-                    jnp.zeros_like(UT[0]))
-                DT = jnp.swapaxes(D, -1, -2)
-                zb = jnp.moveaxis(z, ax, 0)
-                zm = block_tridiag_solve(LT, DT, UT, zb[..., :5])
-                if z.shape[-1] > 5 and data.turb[i] is not None:
-                    lt, dt_, ut = data.turb[i]
-                    ltT = jnp.roll(ut, 1, axis=0).at[0].set(0.0)
-                    utT = jnp.roll(lt, -1, axis=0).at[-1].set(0.0)
-                    zt = tridiag_solve(ltT, dt_, utT, zb[..., 5:])
-                    zl = jnp.concatenate([zm, zt], axis=-1)
-                else:
-                    zl = zm
-                z = jnp.moveaxis(zl, 0, ax)
-                if i > 0:
-                    z = z * data.dscalar[..., None]
-            if data.turb_scale is not None and z.shape[-1] > 5:
-                # forward PC is M = S*T (turbResScale rows); its transpose
-                # is T^T S, so M^-T v = S^-1 T^-T v — un-scale AFTER the
-                # transposed solves
-                inv = jnp.asarray(
-                    (1.0,) * 5 + tuple(1.0 / s for s in data.turb_scale),
-                    z.dtype)
-                z = z * inv
-            out.append(z)
-        return nfns.packer.pack(out)
+        return nfns.packer.pack(
+            [line_pc_apply_transposed(d, vv)
+             for d, vv in zip(data_list, vb)])
 
     return precond

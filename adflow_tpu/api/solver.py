@@ -276,9 +276,15 @@ class ADFLOW:
         # SIGUSR1 = write-and-continue, SIGUSR2 = write-and-quit
         # (reference: connect_signals.c:23-47, polled solvers.F90:1174)
         from adflow_tpu.utils.signals import SignalMonitor
-        sigmon = SignalMonitor(
-            on_write=lambda: self.writeSolution(
-                baseName=f"{ap.name}_sig"))
+
+        def _sig_write(w_now):
+            # sync the driver's CURRENT iterate before writing, else the
+            # checkpoint holds the stale pre-solve state
+            if w_now is not None:
+                self.w_list = list(w_now)
+            self.writeSolution(baseName=f"{ap.name}_sig")
+
+        sigmon = SignalMonitor(on_write=_sig_write)
 
         if opt["equationMode"].lower() == "unsteady":
             from adflow_tpu.solvers.unsteady import (
@@ -343,39 +349,43 @@ class ADFLOW:
         use_nk = bool(opt["useNKSolver"])
         use_ank = bool(opt["useANKSolver"])
         self._sigmon = sigmon
-        sigmon.__enter__()
-        if use_nk or use_ank:
-            from adflow_tpu.solvers.newton import solve_newton_driver
-            self.w_list, info = solve_newton_driver(
-                self.w_list, self.metrics_list, self.topo, self.cfg,
-                self.ref, self.winf, self.options,
-                extras_list=self.extras_list, monitor=monitor,
-                deadline=deadline, signal_check=sigmon.check)
-        elif str(opt["MGCycle"]).lower() not in ("sg", "none", ""):
-            from adflow_tpu.solvers.multigrid import solve_mg
-            self.w_list, info = solve_mg(
-                self.w_list, self.mesh, self.x_list, self.topo, self.cfg,
-                self.ref, self.winf, mg_cycle=str(opt["MGCycle"]),
-                cfl=float(opt["CFL"]), n_cycles=int(opt["nCycles"]),
-                l2_conv=float(opt["L2Convergence"]),
-                l2_conv_rel=float(opt["L2ConvergenceRel"]),
-                monitor=monitor, dtype=self.dtype,
-                n_pre=int(opt["nMGFine"]), n_post=int(opt["nMGCoarse"]),
-                cfl_coarse=float(opt["CFLCoarse"]),
-                res_averaging=str(opt["resAveraging"]),
-                smooth_param=float(opt["smoothParameter"]),
-                deadline=deadline)
-        else:
-            self.w_list, info = steady.solve_rk(
-                self.w_list, self.metrics_list, self.topo, self.cfg,
-                self.ref, self.winf,
-                cfl=float(opt["CFL"]), n_cycles=int(opt["nCycles"]),
-                l2_conv=float(opt["L2Convergence"]),
-                l2_conv_rel=float(opt["L2ConvergenceRel"]),
-                extras_list=self.extras_list, monitor=monitor,
-                smoother=str(opt["smoother"]), deadline=deadline,
-                signal_check=sigmon.check)
-        sigmon.__exit__()
+        try:
+            sigmon.__enter__()
+            if use_nk or use_ank:
+                from adflow_tpu.solvers.newton import solve_newton_driver
+                self.w_list, info = solve_newton_driver(
+                    self.w_list, self.metrics_list, self.topo, self.cfg,
+                    self.ref, self.winf, self.options,
+                    extras_list=self.extras_list, monitor=monitor,
+                    deadline=deadline, signal_check=sigmon.check,
+                    mixed_data=self._mixed_data())
+            elif str(opt["MGCycle"]).lower() not in ("sg", "none", ""):
+                from adflow_tpu.solvers.multigrid import solve_mg
+                self.w_list, info = solve_mg(
+                    self.w_list, self.mesh, self.x_list, self.topo,
+                    self.cfg,
+                    self.ref, self.winf, mg_cycle=str(opt["MGCycle"]),
+                    cfl=float(opt["CFL"]), n_cycles=int(opt["nCycles"]),
+                    l2_conv=float(opt["L2Convergence"]),
+                    l2_conv_rel=float(opt["L2ConvergenceRel"]),
+                    monitor=monitor, dtype=self.dtype,
+                    n_pre=int(opt["nMGFine"]), n_post=int(opt["nMGCoarse"]),
+                    cfl_coarse=float(opt["CFLCoarse"]),
+                    res_averaging=str(opt["resAveraging"]),
+                    smooth_param=float(opt["smoothParameter"]),
+                    deadline=deadline)
+            else:
+                self.w_list, info = steady.solve_rk(
+                    self.w_list, self.metrics_list, self.topo, self.cfg,
+                    self.ref, self.winf,
+                    cfl=float(opt["CFL"]), n_cycles=int(opt["nCycles"]),
+                    l2_conv=float(opt["L2Convergence"]),
+                    l2_conv_rel=float(opt["L2ConvergenceRel"]),
+                    extras_list=self.extras_list, monitor=monitor,
+                    smoother=str(opt["smoother"]), deadline=deadline,
+                    signal_check=sigmon.check)
+        finally:
+            sigmon.__exit__()
         self.solve_info = info
         ap.solveFailed = bool(info.failed)
         ap.fatalFail = bool(info.failed)
@@ -386,6 +396,32 @@ class ADFLOW:
         return
 
     # ------------------------------------------------------------------
+    def _mixed_data(self):
+        """f64 companions for the mixed-precision NK phase
+        (precision='mixed', solvers/newton.py make_mixed_nk): metrics are
+        recomputed from the ORIGINAL f64 node coordinates — upcasting the
+        f32 metrics would put an ~1e-7 flux-closure floor on the f64
+        residual itself."""
+        if self.options["precision"].lower() != "mixed":
+            return None
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "precision='mixed' needs jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True))")
+        if getattr(self, "_mixed_cache", None) is None:
+            from adflow_tpu.geom.metrics import compute_metrics_conn
+            x64 = [jnp.asarray(b.x, jnp.float64) for b in self.mesh.blocks]
+            metrics64 = compute_metrics_conn(self.mesh.blocks, x64)
+            extras64 = None
+            if self.cfg.rans:
+                from adflow_tpu.geom.walldist import compute_wall_distances
+                d64 = compute_wall_distances(self.mesh, x64, jnp.float64)
+                extras64 = [{"walldist": d} for d in d64]
+            self._mixed_cache = (metrics64, extras64)
+        metrics64, extras64 = self._mixed_cache
+        winf64 = jnp.asarray(self.ref.winf(), jnp.float64)
+        return (metrics64, winf64, extras64)
+
     def _filled_w(self):
         return fill_halos(self.w_list, self.metrics_list, self.topo,
                           self.ref, self.winf)

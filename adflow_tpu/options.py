@@ -128,6 +128,12 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "ANKUseTurbDADI": True,
     "ANKUseMatrixFree": True,
     "ANKNSubiterTurb": 1,
+    # global PC family (reference: ANKGlobalPreconditioner,
+    # doc/options.yaml:1070 — 'additive Schwarz' maps to the line-implicit
+    # block PC here; 'multigrid' = the Galerkin stencil AMG, amg.F90)
+    "ANKGlobalPreconditioner": "additive Schwarz",
+    "ANKAMGLevels": 2,
+    "ANKAMGNSmooth": 1,
 
     # NK (full Newton-Krylov)
     "useNKSolver": False,
@@ -139,6 +145,9 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "NKJacobianLag": 20,
     "NKLS": "cubic",                     # 'cubic' | 'none' | 'non monotone'
     "NKFixedStep": 0.25,
+    "NKGlobalPreconditioner": "additive Schwarz",
+    "NKAMGLevels": 2,
+    "NKAMGNSmooth": 1,
     "RKReset": False,
 
     # Adjoint
@@ -151,6 +160,9 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "frozenTurbulence": False,
     "restartAdjoint": True,
     "applyAdjointPCSubspaceSize": 20,
+    "adjointGlobalPreconditioner": "additive Schwarz",
+    "adjointAMGLevels": 2,
+    "adjointAMGNSmooth": 1,
 
     # Reference / freestream
     "liftIndex": 2,                      # 2: y is lift, 3: z is lift
@@ -312,7 +324,10 @@ class Options:
         "turbulencemodel": ("sa", "sa-edwards", "sst"),
         "limiter": ("van albada", "minmod", "no limiter", "first order"),
         "nkls": ("cubic", "none", "non monotone"),
-        "precision": ("auto", "float32", "float64", "tf32"),
+        "ankglobalpreconditioner": ("additive schwarz", "multigrid"),
+        "nkglobalpreconditioner": ("additive schwarz", "multigrid"),
+        "adjointglobalpreconditioner": ("additive schwarz", "multigrid"),
+        "precision": ("auto", "float32", "float64", "tf32", "mixed"),
         "haloexchangemode": ("gather", "ppermute"),
     }
 

@@ -570,12 +570,17 @@ def overlap_surface_weights(mesh: MultiBlockMesh, patches):
             continue
         tree = cKDTree(allc[other])
         oa = alla[other]
+        ocl = allcl[other]
         dist, idx = tree.query(c.reshape(-1, 3))
         diam = np.sqrt(np.maximum(a.reshape(-1), 0.0))
         odiam = np.sqrt(np.maximum(oa[idx], 0.0))
         close = dist < 0.75 * np.maximum(diam, odiam)
+        # equal-area tie-break must be asymmetric (keep the LOWER cluster
+        # id's face): a symmetric rule like `mycl > 0` zeroes BOTH patches
+        # when two non-background clusters overlap with equal areas,
+        # deleting that wall region from the force integral
         finer_other = (oa[idx] < a.reshape(-1)) | (
-            np.isclose(oa[idx], a.reshape(-1)) & (mycl > 0))
+            np.isclose(oa[idx], a.reshape(-1)) & (mycl > ocl[idx]))
         w = np.where(close & finer_other, 0.0, 1.0)
         out.append(w.reshape(a.shape) if (w == 0).any() else None)
     return out

@@ -209,8 +209,10 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
             and "matrix" not in cfg.discretization
             and por is not None and metrics.vfIE is None
             and w.dtype == jnp.float32
+            and cfg.ls_precon_mach == 0.0
             and extras is not None and "walldist" in extras
-            and "act_src" not in extras):
+            and "act_src" not in extras
+            and "act_src_momentum" not in extras):
         from adflow_tpu.ops.pallas_rans import fused_rans_residual
         return fused_rans_residual(
             w, metrics.siE, metrics.sjE, metrics.skE, metrics.vol,

@@ -271,7 +271,8 @@ def matrix_dissipation_residual(w, p, metrics, cfg, por=None):
         nuA = nu[tuple(et)]
         nuL = _shift(nuA, axis, 0, -1)
         nuR = _shift(nuA, axis, 1, 0)
-        eps2 = cfg.vis2 * jnp.maximum(nuL, nuR)
+        # dpMax = 0.25 sensor clamp (fluxes.F90:428 dpMax parameter)
+        eps2 = cfg.vis2 * jnp.minimum(0.25, jnp.maximum(nuL, nuR))
         eps4 = jnp.maximum(0.0, cfg.vis4 - eps2)
         if por is not None:
             pv = jnp.asarray(por[axis], w.dtype)

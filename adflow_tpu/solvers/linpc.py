@@ -57,6 +57,72 @@ def flux_jacobians(w5_cells, svecs):
     return jac.reshape(w5_cells.shape[:-1] + (5, 5))
 
 
+def _prim_from_cons(w5):
+    """[rho,u,v,w,p] from a conservative 5-vector (trailing axis)."""
+    rho = w5[..., 0:1]
+    vel = w5[..., 1:4] / rho
+    ke = 0.5 * jnp.sum(w5[..., 1:4] * vel, axis=-1, keepdims=True)
+    p = (GAMMA - 1.0) * (w5[..., 4:5] - ke)
+    return jnp.concatenate([rho, vel, jnp.maximum(p, 1e-10)], axis=-1)
+
+
+def _abs_jac_single(q5, svec):
+    """|A_roe(q)|.S as a dense 5x5 (conservative variables) — the exact
+    linear map of the matrix-dissipation/Roe splitting, obtained by jacfwd
+    of the characteristic dissipation apply (physics/upwind.py
+    roe_abs_jacobian_apply with qL = qR; eigenvalue floors included, so the
+    PC inherits the discretization's own entropy-fix conditioning)."""
+    from adflow_tpu.physics.upwind import roe_abs_jacobian_apply
+
+    def f(dw):
+        return roe_abs_jacobian_apply(q5, q5, svec, dw)
+
+    return jax.jacfwd(f)(jnp.zeros(5, q5.dtype))
+
+
+def abs_flux_jacobians(w5_cells, svecs):
+    """Batched |A(w).S| (…,5,5) from conservative states."""
+    q = _prim_from_cons(w5_cells)
+    flat_q = q.reshape(-1, 5)
+    flat_s = jnp.broadcast_to(svecs, w5_cells.shape[:-1] + (3,)).reshape(-1, 3)
+    jac = jax.vmap(_abs_jac_single)(flat_q, flat_s)
+    return jac.reshape(w5_cells.shape[:-1] + (5, 5))
+
+
+def solve_small(A, B):
+    """Batched dense solve for tiny blocks (n <= ~8) by UNROLLED
+    Gauss-Jordan elimination.
+
+    Replaces ``jnp.linalg.solve``: XLA lowers that through
+    ``LuDecompositionExpander``, which segfaults the TPU backend compiler
+    on this stack (reproduced: bench --solve-probe native crash inside
+    ``xla::LuDecompositionExpander::ExpandInstruction``). The PC blocks
+    are diagonally dominant by construction (pseudo-time + split radii on
+    the diagonal, Schur complements of a dominant block tridiagonal stay
+    dominant), so elimination without pivoting is stable; the pivot gets a
+    sign-preserving floor as a belt-and-braces guard.
+
+    A: (..., n, n); B: (..., n) or (..., n, k). Returns A^-1 B.
+    """
+    n = A.shape[-1]
+    b_vec = B.ndim == A.ndim - 1
+    if b_vec:
+        B = B[..., None]
+    M = jnp.concatenate([A, B], axis=-1)
+    rows = jnp.arange(n)
+    tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+    for i in range(n):
+        piv = M[..., i, i:i + 1]
+        piv = jnp.where(jnp.abs(piv) < tiny,
+                        jnp.where(piv < 0, -tiny, tiny), piv)
+        row = M[..., i, :] / piv
+        factor = jnp.where(rows != i, M[..., :, i], 0.0)
+        M = M - factor[..., None] * row[..., None, :]
+        M = M.at[..., i, :].set(row)
+    X = M[..., n:]
+    return X[..., 0] if b_vec else X
+
+
 def block_tridiag_solve(L, D, U, rhs):
     """Block-Thomas along axis 0.
 
@@ -67,9 +133,9 @@ def block_tridiag_solve(L, D, U, rhs):
         Cp_prev, dp_prev = carry
         Lc, Dc, Uc, rc = xs
         denom = Dc - Lc @ Cp_prev
-        Cp = jnp.linalg.solve(denom, Uc)
+        Cp = solve_small(denom, Uc)
         rhs_c = rc - (Lc @ dp_prev[..., None])[..., 0]
-        dp = jnp.linalg.solve(denom, rhs_c[..., None])[..., 0]
+        dp = solve_small(denom, rhs_c)
         return (Cp, dp), (Cp, dp)
 
     Cp0 = jnp.zeros_like(D[0])
@@ -111,7 +177,19 @@ def build_line_pc(w, metrics, cfg, ref, dtinv, axes=(1,),
     kappa=1 is the LU-SGS choice (robust, overdamped vs the small-eps JST
     dissipation of the true operator); smaller kappa matches the JST spectrum
     better at the cost of weaker diagonal dominance.
+
+    For upwind / matrix-dissipation discretizations the scalar lambda*I
+    splitting badly over-dissipates the entropy/shear rows (their physical
+    dissipation is |u_n|, not |u_n|+c), so the PC mismatch lets GMRES stall
+    near 0.3 relative (measured on the matrix-diss NACA0012 ANK solve).
+    Those discretizations get the exact characteristic splitting instead:
+    L = -0.5(A_m + |A_m|), U = 0.5(A_p - |A_p|) and a MATRIX diagonal
+    D = (V/dt + cross-radii) I + 0.5(|A_f-| + |A_f+|) — the true first-order
+    Roe line Jacobian (reference: setupStateResidualMatrix builds the same
+    first-order PC, adjointUtils.F90:7).
     """
+    matrix_split = (cfg.discretization.startswith("upwind")
+                    or "matrix" in cfg.discretization)
     p = jnp.maximum(pressure(w), 1e-10)
     rI, rJ, rK = spectral_radii(w, p, metrics,
                                 cfg.ls_precon_mach)
@@ -167,9 +245,23 @@ def build_line_pc(w, metrics, cfg, ref, dtinv, axes=(1,),
 
         A_m = flux_jacobians(w_m, s_m)
         A_p = flux_jacobians(w_p, s_p)
-        L = -0.5 * coupling * (A_m + kappa * lam_m[..., None, None] * eye)
-        U = 0.5 * coupling * (A_p - kappa * lam_p[..., None, None] * eye)
-        D = dscalar[..., None, None] * eye
+        if matrix_split:
+            w_c = w[tuple(it)][..., :5]
+            Aabs_m = abs_flux_jacobians(w_m, s_m)
+            Aabs_p = abs_flux_jacobians(w_p, s_p)
+            Aabs_cm = abs_flux_jacobians(w_c, s_m)
+            Aabs_cp = abs_flux_jacobians(w_c, s_p)
+            L = -0.5 * coupling * (A_m + Aabs_m)
+            U = 0.5 * coupling * (A_p - Aabs_p)
+            # diagonal: pseudo-time + scalar radii of the two CROSS
+            # directions + the sweep direction's matrix |A| halves
+            r_cross = rtot - rads[ax][1:-1, 1:-1, 1:-1]
+            D = ((dtinv + kappa * r_cross)[..., None, None] * eye
+                 + 0.5 * (Aabs_cm + Aabs_cp))
+        else:
+            L = -0.5 * coupling * (A_m + kappa * lam_m[..., None, None] * eye)
+            U = 0.5 * coupling * (A_p - kappa * lam_p[..., None, None] * eye)
+            D = dscalar[..., None, None] * eye
 
         # move the sweep axis first
         L = jnp.moveaxis(L, ax, 0)
@@ -199,17 +291,20 @@ def build_line_pc(w, metrics, cfg, ref, dtinv, axes=(1,),
                       dscalar=dscalar, turb_scale=ts)
 
 
-def line_pc_apply(data: LinePCData, v):
+def line_pc_apply(data: LinePCData, v, skip_scale: bool = False):
     """Apply M^-1 v on one block, v: (ni,nj,nk,nw).
 
     Multiple axes compose as an approximate factorization
     M = (D+A_1) D^-1 (D+A_2) D^-1 ... with the FULL diagonal D in every
     factor: since D >= sum of radii the inter-factor scaling stays bounded
-    as CFL -> inf (unlike the classic AF whose error blows up with dt)."""
+    as CFL -> inf (unlike the classic AF whose error blows up with dt).
+
+    skip_scale: caller already works in the UNSCALED (physical) residual
+    space and handles turbResScale rows itself (solvers/amg.py)."""
     from adflow_tpu.solvers.dadi import tridiag_solve
 
     z = v
-    if data.turb_scale is not None and v.shape[-1] > 5:
+    if not skip_scale and data.turb_scale is not None and v.shape[-1] > 5:
         # PC = S*T on the scaled turbulence rows: un-scale the input once,
         # then apply the unscaled factors
         inv = jnp.asarray((1.0,) * 5 + tuple(1.0 / s for s in
@@ -228,4 +323,45 @@ def line_pc_apply(data: LinePCData, v):
         else:
             zl = zm
         z = jnp.moveaxis(zl, 0, ax)
+    return z
+
+
+def line_pc_apply_transposed(data: LinePCData, v, skip_scale: bool = False):
+    """Apply M^-T v on one block: transpose each factor and reverse the
+    sweep order (adjoint PC; reference: the transposed PETSc PC in
+    solveAdjoint, adjointAPI.F90:661).
+
+    Forward PC is M = S*T on turbResScale rows, so M^-T v = S^-1 T^-T v —
+    the un-scale happens AFTER the transposed solves (unless skip_scale).
+    """
+    from adflow_tpu.solvers.dadi import tridiag_solve
+
+    z = v
+    for i in reversed(range(len(data.axes))):
+        ax = data.axes[i]
+        L, D, U = data.mean[i]
+        # transpose of tridiag(L, D, U): blocks transposed, L/U swapped
+        # with a one-cell shift along the line
+        LT = jnp.swapaxes(U, -1, -2)
+        LT = jnp.roll(LT, 1, axis=0).at[0].set(jnp.zeros_like(LT[0]))
+        UT = jnp.swapaxes(L, -1, -2)
+        UT = jnp.roll(UT, -1, axis=0).at[-1].set(jnp.zeros_like(UT[0]))
+        DT = jnp.swapaxes(D, -1, -2)
+        zb = jnp.moveaxis(z, ax, 0)
+        zm = block_tridiag_solve(LT, DT, UT, zb[..., :5])
+        if z.shape[-1] > 5 and data.turb[i] is not None:
+            lt, dt_, ut = data.turb[i]
+            ltT = jnp.roll(ut, 1, axis=0).at[0].set(0.0)
+            utT = jnp.roll(lt, -1, axis=0).at[-1].set(0.0)
+            zt = tridiag_solve(ltT, dt_, utT, zb[..., 5:])
+            zl = jnp.concatenate([zm, zt], axis=-1)
+        else:
+            zl = zm
+        z = jnp.moveaxis(zl, 0, ax)
+        if i > 0:
+            z = z * data.dscalar[..., None]
+    if not skip_scale and data.turb_scale is not None and z.shape[-1] > 5:
+        inv = jnp.asarray((1.0,) * 5 + tuple(1.0 / s for s in
+                                             data.turb_scale), z.dtype)
+        z = z * inv
     return z

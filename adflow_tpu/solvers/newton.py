@@ -130,9 +130,30 @@ def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
                               kappa=kappa)
                 for w, m, rs in zip(w_list, metrics_list, rs_list)]
 
-    def make_precond(wvec, cfl, axes=(1, 0, 2), kappa=1.0):
-        """Block line-implicit preconditioner for (V/dt + dR/dw)
-        (solvers/linpc.py; replaces the reference's PETSc ASM+ILU)."""
+    def make_precond(wvec, cfl, axes=(1, 0, 2), kappa=1.0,
+                     pc_kind: str = "line", amg_levels: int = 2,
+                     amg_nsmooth: int = 1):
+        """Block preconditioner for (V/dt + dR/dw): line-implicit
+        (solvers/linpc.py, the reference's ASM+ILU analogue) or Galerkin
+        stencil multigrid (solvers/amg.py, the reference's amg.F90 —
+        *GlobalPreconditioner='multigrid')."""
+        if pc_kind == "multigrid":
+            from adflow_tpu.solvers.amg import amg_pc_apply, build_amg_pc
+            w_list_f, rs_list = rad_sum_cells(wvec)
+            data_list = [
+                build_amg_pc(w, m, cfg, ref, dtinv=rs / cfl,
+                             levels=amg_levels, n_smooth=amg_nsmooth,
+                             axes=axes, kappa=kappa)
+                for w, m, rs in zip(w_list_f, metrics_list, rs_list)]
+
+            def precond(v):
+                vb = packer.unpack(v)
+                zb = [amg_pc_apply(d, vv)
+                      for d, vv in zip(data_list, vb)]
+                return packer.pack(zb)
+
+            return precond
+
         from adflow_tpu.solvers.linpc import line_pc_apply
         data_list = collect_pc_data(wvec, cfl, axes, kappa)
 
@@ -186,6 +207,18 @@ def _pc_params(opts):
     return axes, float(opts["linePCKappa"])
 
 
+def _pc_choice(opts, prefix: str) -> dict:
+    """PC-family kwargs for make_precond. Consumed options (by prefix):
+    ANKGlobalPreconditioner, ANKAMGLevels, ANKAMGNSmooth,
+    NKGlobalPreconditioner, NKAMGLevels, NKAMGNSmooth (reference:
+    pyADflow.py:5805-5831)."""
+    kind = str(opts[f"{prefix}GlobalPreconditioner"]).lower()
+    return dict(
+        pc_kind=("multigrid" if kind == "multigrid" else "line"),
+        amg_levels=int(opts[f"{prefix}AMGLevels"]),
+        amg_nsmooth=int(opts[f"{prefix}AMGNSmooth"]))
+
+
 def make_ank_step(fns: NewtonFns, opts):
     m = int(opts["ANKSubspaceSize"])
     if m <= 0:
@@ -198,6 +231,7 @@ def make_ank_step(fns: NewtonFns, opts):
     phys_tol_turb = float(opts["ANKPhysicalLSTolTurb"])
     step_factor = float(opts["ANKStepFactor"])
     pc_axes, pc_kappa = _pc_params(opts)
+    pc_kw = _pc_choice(opts, "ANK")
 
     @jax.jit
     def ank_step(wvec, cfl):
@@ -224,7 +258,8 @@ def make_ank_step(fns: NewtonFns, opts):
             _, jv = jax.jvp(fns.res_flat, (wvec,), (v,))
             return diag * v + jv
 
-        precond = fns.make_precond(wvec, cfl, axes=pc_axes, kappa=pc_kappa)
+        precond = fns.make_precond(wvec, cfl, axes=pc_axes, kappa=pc_kappa,
+                                   **pc_kw)
         sol = gmres(matvec, -r, m=m, restarts=2, tol=lintol, precond=precond)
         alpha0 = physicality_alpha(wvec, sol.x, fns.packer, phys_tol,
                                    phys_tol_turb) * step_factor
@@ -260,6 +295,7 @@ def make_nk_step(fns: NewtonFns, opts):
     m = int(opts["NKSubspaceSize"])
     ls_kind = str(opts["NKLS"]).lower()
     pc_axes, pc_kappa = _pc_params(opts)
+    pc_kw = _pc_choice(opts, "NK")
 
     @jax.jit
     def nk_step(wvec, eta):
@@ -273,7 +309,7 @@ def make_nk_step(fns: NewtonFns, opts):
         # line PC with a large pseudo-CFL regularization (no dt in the
         # Newton matrix itself; the PC still needs a nonsingular D)
         precond = fns.make_precond(wvec, jnp.asarray(1e6, wvec.dtype),
-                                   axes=pc_axes, kappa=pc_kappa)
+                                   axes=pc_axes, kappa=pc_kappa, **pc_kw)
         sol = gmres(matvec, -r, m=m, restarts=2, tol=eta, precond=precond)
         alpha0 = physicality_alpha(wvec, sol.x, fns.packer)
 
@@ -306,13 +342,62 @@ def make_nk_step(fns: NewtonFns, opts):
 
 
 # ---------------------------------------------------------------------------
+# mixed-precision NK: f32 Jacobian/PC/Krylov, f64 outer residual
+# ---------------------------------------------------------------------------
+
+def make_mixed_nk(fns: NewtonFns, fns64: NewtonFns, opts):
+    """Mixed-precision Newton pieces (iterative-refinement structure).
+
+    f32 cannot converge the residual past its own evaluation noise
+    (~1e-5 relative, bench.py r01-r03 floor), and full-f64 on TPU is
+    emulated and 10-30x slower per eval. Classic mixed-precision Newton
+    splits the work: the EXPENSIVE inner pieces (Jacobian-vector products,
+    line PC, GMRES — thousands of residual-sized ops) run in f32; only the
+    OUTER residual (one eval per step + line-search checks) runs in f64.
+    The step dw needs just ~lintol relative accuracy for inexact Newton,
+    so the f32 solve does not limit the attainable residual — the f64
+    state update w64 += alpha*dw carries the tail digits (at 1e-8 relative
+    residual the step is below f32 state resolution, which is exactly why
+    the state must live in f64). Convergence per step ~ lintol + O(eps32),
+    i.e. 1-2 orders/step down to the f64 floor.
+    """
+    m = int(opts["NKSubspaceSize"])
+    pc_axes, pc_kappa = _pc_params(opts)
+    pc_kw = _pc_choice(opts, "NK")
+
+    res64 = jax.jit(fns64.res_flat)
+
+    @jax.jit
+    def lin_solve(w32, rhs32, eta):
+        def matvec(v):
+            _, jv = jax.jvp(fns.res_flat, (w32,), (v,))
+            return jv
+
+        precond = fns.make_precond(w32, jnp.asarray(1e6, w32.dtype),
+                                   axes=pc_axes, kappa=pc_kappa, **pc_kw)
+        sol = gmres(matvec, rhs32, m=m, restarts=2, tol=eta,
+                    precond=precond)
+        alpha0 = physicality_alpha(w32, sol.x, fns.packer)
+        return (sol.x, alpha0, sol.iters,
+                sol.res_norm / jnp.maximum(sol.b_norm, 1e-30))
+
+    return res64, lin_solve
+
+
+# ---------------------------------------------------------------------------
 # the switching driver (reference: solveState, solvers.F90:892)
 # ---------------------------------------------------------------------------
 
 def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                         extras_list=None, monitor=None,
                         deadline: Optional[float] = None,
-                        signal_check=None):
+                        signal_check=None, mixed_data=None):
+    """mixed_data: (metrics64_list, winf64, extras64_list) — presence
+    switches the NK phase to the mixed-precision f64-outer Newton
+    (precision='mixed'; the metrics MUST be recomputed from f64 node
+    coordinates, not upcast from f32 — f32-rounded face areas break the
+    telescoping flux sum at ~1e-7 relative, putting a floor on the f64
+    residual itself)."""
     import time as _time
     fns = build_newton_fns(w_list, metrics_list, topo, cfg, ref, winf,
                            extras_list)
@@ -391,12 +476,20 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         # best-state checkpoint: pseudo-time transients may raise the steady
         # residual legitimately, but a blow-up restores here
         best_w, best_r = wvec, rnorm
+        # mixed-precision handover: the f32 ANK residual floors at its own
+        # evaluation noise (~1e-5 rel) which may sit ABOVE NKSwitchTol —
+        # detect the stall and hand the state to the f64-outer NK instead
+        # of burning the cycle budget at the floor
+        stall_ref, stall_count = rnorm, 0
         while it < n_cycles and rnorm > target and not failed:
             if use_nk and rnorm <= nk_switch:
                 break
+            if (mixed_data is not None and use_nk and stall_count >= 10):
+                break
             if deadline is not None and _time.time() >= deadline:
                 break
-            if signal_check is not None and signal_check() == "stop":
+            if signal_check is not None and signal_check(
+                    lambda: fns.packer.unpack_into(wvec, w_list)) == "stop":
                 break
             wnew, rn, rnew, alpha, kiters, linres, umerit = ank_step(
                 wvec, jnp.asarray(cfl, dtype))
@@ -421,8 +514,22 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             n_reject = 0
             wvec = wnew
             rnorm = rnew_f
+            if rnorm < 0.99 * stall_ref:
+                stall_ref, stall_count = rnorm, 0
+            else:
+                stall_count += 1
             if rnorm < best_r:
                 best_w, best_r = wvec, rnorm
+            elif rnorm > 5.0 * best_r:
+                # sustained steady-residual growth with accepted unsteady
+                # steps = inexact-Newton wandering at a CFL the linear
+                # solver can't support (matrix-diss NACA0012 limit cycle):
+                # restore the best state and learn a harder CFL ceiling
+                # (reference ANK cuts CFL on bad lambda the same way)
+                wvec = best_w
+                rnorm = best_r
+                cfl_cap = max(cfl * cutback, cfl_min)
+                cfl = max(cfl * cutback, cfl_min)
             hist.append(np.array([[rnorm, 0.0]]))
             _mon(it, rnorm, 0.0, cfl=cfl, linres=linres_f, itertype="ANK")
             # CFL controller (reference: ANKLinResMax gating + SER ramp):
@@ -441,8 +548,60 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             else:
                 cfl_cap = min(cfl_cap * 1.05, cfl_limit)
 
+    # ---- NK phase, mixed precision (f64 outer residual) ----
+    if (use_nk and not failed and rnorm > target
+            and mixed_data is not None):
+        metrics64, winf64, extras64 = mixed_data
+        w64_templates = [
+            jnp.broadcast_to(winf64, w.shape).astype(jnp.float64)
+            for w in w_list]
+        fns64 = build_newton_fns(w64_templates, metrics64, topo, cfg, ref,
+                                 winf64, extras64)
+        res64, lin_solve = make_mixed_nk(fns, fns64, opts)
+        eta_max = float(opts["NKLinearSolveTol"])
+        use_ew = bool(opts["NKUseEW"])
+        ew_exp = float(opts["NKEWRTolExponent"])
+        eta = eta_max
+        w64 = jnp.asarray(wvec, jnp.float64)
+        r64 = res64(w64)
+        rnorm = float(jnp.linalg.norm(r64))
+        while it < n_cycles and rnorm > target and not failed:
+            if deadline is not None and _time.time() >= deadline:
+                break
+            if signal_check is not None and signal_check(
+                    lambda: fns.packer.unpack_into(
+                        w64.astype(dtype), w_list)) == "stop":
+                break
+            w32 = w64.astype(dtype)
+            dx32, alpha0, kiters, linres = lin_solve(
+                w32, (-r64).astype(dtype), jnp.asarray(eta, dtype))
+            dx64 = jnp.asarray(dx32, jnp.float64)
+            alpha = float(alpha0)
+            r_prev = rnorm
+            rn_try = float("nan")
+            for _ in range(4):           # f64 backtracking line search
+                w_try = w64 + alpha * dx64
+                r_try = res64(w_try)
+                rn_try = float(jnp.linalg.norm(r_try))
+                if np.isfinite(rn_try) and rn_try <= rnorm:
+                    break
+                alpha *= 0.5
+            if not np.isfinite(rn_try):
+                failed = True
+                break
+            # non-monotone acceptance of the last trial (LSNM analogue)
+            w64, r64, rnorm = w_try, r_try, rn_try
+            it += 1
+            hist.append(np.array([[rnorm, 0.0]]))
+            _mon(it, rnorm, 0.0, linres=float(linres), itertype="NK64")
+            if use_ew:
+                eta = min(eta_max,
+                          0.9 * (rnorm / max(r_prev, 1e-300)) ** ew_exp)
+                eta = max(eta, 1e-6)
+        wvec = w64.astype(dtype)
+
     # ---- NK phase ----
-    if use_nk and not failed and rnorm > target:
+    elif use_nk and not failed and rnorm > target:
         nk_step = make_nk_step(fns, opts)
         eta_max = float(opts["NKLinearSolveTol"])
         use_ew = bool(opts["NKUseEW"])
@@ -452,7 +611,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         while it < n_cycles and rnorm > target and not failed:
             if deadline is not None and _time.time() >= deadline:
                 break
-            if signal_check is not None and signal_check() == "stop":
+            if signal_check is not None and signal_check(
+                    lambda: fns.packer.unpack_into(wvec, w_list)) == "stop":
                 break
             wnew, rn, rnew, alpha, kiters, linres = nk_step(
                 wvec, jnp.asarray(eta, dtype))

@@ -105,7 +105,8 @@ def solve_rk(w_list, metrics_list, topo, cfg, ref, winf,
         if rnow <= l2_conv * r0 or rnow <= l2_conv_rel:
             converged = True
             break
-        if signal_check is not None and signal_check() == "stop":
+        if (signal_check is not None
+                and signal_check(lambda: w_list) == "stop"):
             break
         if deadline is not None and time.time() >= deadline:
             break

@@ -18,7 +18,9 @@ def resolve_dtype(precision: str = "auto"):
     p = precision.lower()
     if p == "float64":
         return jnp.float64
-    if p in ("float32", "tf32"):
+    if p in ("float32", "tf32", "mixed"):
+        # 'mixed': f32 solver machinery + f64 outer Newton residual
+        # (solvers/newton.py mixed NK phase) — the working dtype is f32
         return jnp.float32
     # auto
     backend = jax.default_backend()

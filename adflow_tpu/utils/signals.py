@@ -54,14 +54,21 @@ class SignalMonitor:
                 pass
         return False
 
-    def check(self) -> Optional[str]:
+    def check(self, get_state: Optional[Callable[[], object]] = None
+              ) -> Optional[str]:
         """Poll between iterations: runs the write callback if requested;
-        returns 'stop' when the solve should terminate, else None."""
+        returns 'stop' when the solve should terminate, else None.
+
+        ``get_state``: zero-arg provider returning the solver's CURRENT
+        iterate (drivers keep it in a local, not on the ADFLOW object, so
+        without this the write would checkpoint the stale pre-solve state).
+        Only invoked when a write is actually pending."""
         if self._write_requested:
             self._write_requested = False
             if self._on_write is not None:
                 try:
-                    self._on_write()
+                    state = get_state() if get_state is not None else None
+                    self._on_write(state)
                 except Exception as e:    # never kill the solve on IO
                     print(f"  signal write failed: {e}")
         return "stop" if self._quit_requested else None

@@ -278,7 +278,8 @@ def main():
         return
 
     detail = {"platform": jax.devices()[0].platform,
-              "device": str(jax.devices()[0])}
+              "device": str(jax.devices()[0]),
+              "throughput": {}}
     try:
         mcell = residual_throughput(detail)
     except Exception as e:

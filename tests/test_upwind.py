@@ -122,8 +122,18 @@ def test_matrix_dissipation_freestream_and_solve():
     (r,) = residual_list(w, metrics, topo, cfg, ref, winf)
     assert float(jnp.max(jnp.abs(r))) < 1e-12
 
+    # solver config mirrors the reference's own matrix-JST regression
+    # (tests/reg_tests/test_solve.py:39-52 'euler_matrix_JST_tut_wing':
+    # usenksolver True, nkswitchtol 1e-2, vis4 0.1): matrix dissipation at
+    # the default vis4=1/64 leaves a physically undamped trailing-edge
+    # mode on this coarse O-mesh that pseudo-transient ANK limit-cycles
+    # on; NK (true Newton) with the reference's vis4 converges it
+    # quadratically (measured: 1.8e-13 in 15 iters).
     opts = dict(OPTS)
     opts["discretization"] = "central plus matrix dissipation"
+    opts["useNKSolver"] = True
+    opts["NKSwitchTol"] = 1e-2
+    opts["vis4"] = 0.1
     mesh2 = naca0012_omesh(ni=96, nj=32)
     solver = ADFLOW(options=opts, mesh=mesh2)
     ap2 = AeroProblem(name="md", mach=0.5, alpha=2.0, evalFuncs=["cl", "cd"])
