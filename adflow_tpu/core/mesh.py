@@ -112,6 +112,11 @@ class B2BConnection:
     offset: Tuple[int, int, int]
     rotation: Optional[np.ndarray] = None
     translation: Optional[np.ndarray] = None
+    # partial-face window: half-open cell ranges over the face's two
+    # tangential axes in SORTED axis order (like BCSubface.rng); None =
+    # full face. Produced by block splitting when a donor block is cut
+    # (loadBalance.F90:880 splitBlocksLoadBalance donor remapping).
+    rng: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
 
 
 @dataclasses.dataclass

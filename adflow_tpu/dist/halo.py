@@ -52,18 +52,31 @@ class HaloTable:
     padded_shape: Tuple[int, int, int]
 
 
-def _ghost_cells_for_face(face: Face, dims, ext: int = H):
+def _lateral_window(rng_ax, dim, ext):
+    """Tangential cell range for one lateral axis: the connection's rng
+    window (full face if None), extended by ``ext`` only where the window
+    touches the physical block end — interior ends are split seams whose
+    ghosts belong to the sibling partial-face connection."""
+    lo, hi = (0, dim) if rng_ax is None else rng_ax
+    return (lo - (ext if lo == 0 else 0), hi + (ext if hi == dim else 0))
+
+
+def _ghost_cells_for_face(face: Face, dims, ext: int = H, rng=None):
     """Cell coords (interior frame, may be negative) of the 2-deep ghost
-    region behind ``face``, extended ``ext`` cells tangentially."""
+    region behind ``face`` (restricted to the partial-face window ``rng``
+    when given), extended ``ext`` cells tangentially."""
     ax = face.axis
     n = dims[ax]
+    t_axes = [a for a in range(3) if a != ax]
     rngs = []
     for a in range(3):
         if a == ax:
             rngs.append(np.arange(n, n + H) if face.is_high
                         else np.arange(-H, 0))
         else:
-            rngs.append(np.arange(-ext, dims[a] + ext))
+            r = None if rng is None else rng[t_axes.index(a)]
+            lo, hi = _lateral_window(r, dims[a], ext)
+            rngs.append(np.arange(lo, hi))
     g = np.stack(np.meshgrid(*rngs, indexing="ij"), axis=-1)
     return g.reshape(-1, 3)
 
@@ -86,7 +99,8 @@ def build_halo_table(mesh: MultiBlockMesh,
     for bi, blk in enumerate(mesh.blocks):
         for conn in blk.conns:
             donor = mesh.blocks[conn.donor_block]
-            ghosts = _ghost_cells_for_face(conn.face, blk.dims)
+            ghosts = _ghost_cells_for_face(conn.face, blk.dims,
+                                           rng=conn.rng)
             # affine map into donor cell coords:
             # donor[|t|-1] = sign(t) * mine[m] + offset[m]
             d = np.zeros_like(ghosts)
@@ -143,6 +157,7 @@ def build_conn_ops(mesh: MultiBlockMesh, ext: int = H) -> List[ConnOp]:
         for conn in blk.conns:
             donor = mesh.blocks[conn.donor_block]
             ax = conn.face.axis
+            t_axes = [a for a in range(3) if a != ax]
             lo = [0, 0, 0]
             hi = [0, 0, 0]
             for a in range(3):
@@ -152,7 +167,9 @@ def build_conn_ops(mesh: MultiBlockMesh, ext: int = H) -> List[ConnOp]:
                     else:
                         lo[a], hi[a] = -H, 0
                 else:
-                    lo[a], hi[a] = -ext, dims[a] + ext
+                    r = (None if conn.rng is None
+                         else conn.rng[t_axes.index(a)])
+                    lo[a], hi[a] = _lateral_window(r, dims[a], ext)
             dst_sl = tuple(slice(l + H, h + H) for l, h in zip(lo, hi))
             src_sl = [None, None, None]
             perm = [0, 0, 0]

@@ -17,11 +17,13 @@ cross-chip collectives (all-to-all for the gather, psum for norms). No
 hand-written shard_map/ppermute needed on this path, and it generalizes to
 any number of blocks per chip.
 
-Block splitting (`split_block`) supports the cases the analytic meshes and
-CGNS wings produce: a split along axis A requires every b2b connection on
-lateral faces to be a self-connection mapping A identically (e.g. the
-O-mesh i-wrap). General donor-side re-mapping (partial-face connections) is
-the remaining gap, matching loadBalance.F90's full generality.
+Block splitting (`split_block`) is general: any block of an arbitrary
+multiblock mesh can be cut, with every connection whose donor was the cut
+block remapped onto the parts — straddling windows become partial-face
+(``rng``) connections (the donor-side remapping of
+loadBalance.F90:880 splitBlocksLoadBalance). The only restriction is that
+a cut may not pass through the 2-deep ghost window of a connected face
+normal to the cut (the balance driver keeps cuts >= 2 cells from faces).
 """
 
 from __future__ import annotations
@@ -58,40 +60,96 @@ def _clip_rng(rng, lo, hi):
     return (a0 - lo, a1 - lo) if a1 > a0 else None
 
 
+_OLD_DONOR = -12345   # phase-A sentinel: "donor is the pre-split block"
+
+
+def _remap_donor_conn(c: B2BConnection, rec_dims, bi: int, new_index: int,
+                      axis: int, cut: int, n_axis: int
+                      ) -> List[B2BConnection]:
+    """Split/retarget one connection whose donor was the pre-split block.
+
+    Reference analogue: donor-side remapping of 1-to-1 subfaces when a
+    block is split for load balance (loadBalance.F90:880
+    splitBlocksLoadBalance). The receiver's ghost window maps affinely to
+    donor coords (donor[|t|-1] = sign(t)*mine + offset); the receiver axis
+    m* with |transform[m*]|-1 == axis controls the donor's split-axis
+    coordinate, so partitioning the m* range at the cut yields at most two
+    partial-face connections, each retargeted to one part (part-1 donors
+    renumbered by -cut through offset[m*]).
+    """
+    ax = c.face.axis
+    t_axes = [a for a in range(3) if a != ax]
+    rng = c.rng or ((0, rec_dims[t_axes[0]]), (0, rec_dims[t_axes[1]]))
+    ranges = {ax: ((rec_dims[ax], rec_dims[ax] + 2) if c.face.is_high
+                   else (-2, 0)),
+              t_axes[0]: tuple(rng[0]), t_axes[1]: tuple(rng[1])}
+    mstar = next(m for m in range(3) if abs(c.transform[m]) - 1 == axis)
+    s = 1 if c.transform[mstar] > 0 else -1
+    mlo, mhi = ranges[mstar]
+    d_ends = (s * mlo + c.offset[mstar], s * (mhi - 1) + c.offset[mstar])
+    dlo, dhi = min(d_ends), max(d_ends) + 1
+
+    out: List[B2BConnection] = []
+    for plo, phi, donor_idx, dshift in ((0, cut, bi, 0),
+                                        (cut, n_axis, new_index, -cut)):
+        # the depth direction may legitimately reach past the donor's ends
+        # (2nd ghost layer beyond a donor of depth < 2 never happens for
+        # cut in [2, n-2]); clamp the partition windows to the donor range
+        a0, a1 = max(dlo, plo), min(dhi, phi)
+        if a0 >= a1:
+            continue
+        if s > 0:
+            m0, m1 = a0 - c.offset[mstar], a1 - c.offset[mstar]
+        else:
+            m0, m1 = (c.offset[mstar] - a1 + 1, c.offset[mstar] - a0 + 1)
+        off = list(c.offset)
+        off[mstar] = off[mstar] + dshift
+        if mstar == ax:
+            # the ghost DEPTH maps onto the split axis: the 2-deep window
+            # must land entirely inside one part (guaranteed by the
+            # balance driver's cut-margin rule)
+            if (m0, m1) != ranges[ax]:
+                raise NotImplementedError(
+                    "cut passes through a connected face's ghost depth "
+                    "(choose a cut >= 2 cells from connected faces)")
+            newrng = c.rng
+        else:
+            pos = t_axes.index(mstar)
+            r = [list(rng[0]), list(rng[1])]
+            r[pos] = [max(r[pos][0], m0), min(r[pos][1], m1)]
+            if r[pos][0] >= r[pos][1]:
+                continue
+            newrng = (tuple(r[0]), tuple(r[1]))
+        out.append(dataclasses.replace(
+            c, donor_block=donor_idx, offset=tuple(off), rng=newrng))
+    if not out:
+        raise ValueError("donor remap produced no pieces (bad topology)")
+    return out
+
+
 def split_block(mesh: MultiBlockMesh, bi: int, axis: int, cut: int
                 ) -> MultiBlockMesh:
     """Split block ``bi`` at interior cell index ``cut`` along ``axis``.
 
     Part 0 keeps cells [0, cut), part 1 (appended at the end) gets
-    [cut, n). An internal 1-to-1 connection stitches them. Lateral b2b
-    connections must be self-connections that map ``axis`` identically
-    (checked); other blocks' connections into ``bi`` are not supported yet.
+    [cut, n). An internal 1-to-1 connection stitches them; every
+    connection (of any block, including self-wraps) whose donor was ``bi``
+    is remapped onto the parts, splitting into partial-face (``rng``)
+    connections where the window straddles the cut
+    (loadBalance.F90:880 donor remapping).
     """
     blk = mesh.blocks[bi]
     n = blk.dims[axis]
     if not (0 < cut < n):
         raise ValueError(f"cut {cut} outside (0, {n})")
-    for ob, other in enumerate(mesh.blocks):
-        if ob == bi:
-            continue
-        for c in other.conns:
-            if c.donor_block == bi:
-                raise NotImplementedError(
-                    "splitting a block that other blocks connect to needs "
-                    "partial-face donor remapping (loadBalance.F90:880)")
-
-    t1, t2 = [a for a in range(3) if a != axis]
     new_index = len(mesh.blocks)
 
     def part_block(part: int) -> Block:
         lo = 0 if part == 0 else cut
         hi = cut if part == 0 else n
-        nloc = hi - lo
         xsl = [slice(None)] * 3
         xsl[axis] = slice(lo, hi + 1)
         x = blk.x[tuple(xsl)]
-        dims = list(blk.dims)
-        dims[axis] = nloc
 
         bcs: List[BCSubface] = []
         for sf in blk.bcs:
@@ -116,55 +174,70 @@ def split_block(mesh: MultiBlockMesh, bi: int, axis: int, cut: int
         conns: List[B2BConnection] = []
         for c in blk.conns:
             ax = c.face.axis
+            donor = _OLD_DONOR if c.donor_block == bi else c.donor_block
             if ax == axis:
-                if (c.face.is_high and part == 1) or \
-                        (not c.face.is_high and part == 0):
+                if (c.face.is_high) != (part == 1):
+                    continue
+                off = list(c.offset)
+                if part == 1:
+                    # receiver renumbering: coords along the split axis
+                    # shift by -cut; mine_old = mine_new + cut enters the
+                    # affine map through the axis component's offset
                     s = 1 if c.transform[axis] > 0 else -1
-                    off = list(c.offset)
-                    donor = c.donor_block
-                    if donor == bi:
-                        # self-wrap across the split axis (O-mesh i-wrap):
-                        # the wrap now joins the two OUTER faces of the
-                        # pair. s=+1 wraps map low ghosts to the high end
-                        # (-> part 1) and vice versa.
-                        if s != 1:
-                            raise NotImplementedError(
-                                "reversed self-wrap across the split axis")
-                        if part == 0:      # low face: donor is part 1
-                            donor = new_index
-                            off[axis] = off[axis] - cut
-                        else:              # high face: donor is part 0
-                            donor = bi
-                            off[axis] = off[axis] + cut
-                    elif part == 1:
-                        off[axis] = off[axis] + s * cut
-                    conns.append(dataclasses.replace(
-                        c, donor_block=donor, offset=tuple(off)))
+                    off[axis] = off[axis] + s * cut
+                conns.append(dataclasses.replace(
+                    c, donor_block=donor, offset=tuple(off)))
                 continue
-            # lateral face: require self-connection, identity on the axis
-            if (c.donor_block != bi or c.transform[axis] != axis + 1
-                    or c.offset[axis] != 0):
-                raise NotImplementedError(
-                    "lateral b2b connection not a self-identity wrap; "
-                    "general split needs donor remapping")
-            donor = bi if part == 0 else new_index
-            conns.append(dataclasses.replace(c, donor_block=donor))
+            # lateral face: clip the window to this part, shift frame
+            o1, o2 = [a for a in range(3) if a != ax]
+            rng = c.rng or ((0, blk.dims[o1]), (0, blk.dims[o2]))
+            r = [list(rng[0]), list(rng[1])]
+            pos = 0 if o1 == axis else 1
+            clipped = _clip_rng(tuple(r[pos]), lo, hi)
+            if clipped is None:
+                continue
+            r[pos] = list(clipped)
+            off = list(c.offset)
+            if part == 1:
+                s = 1 if c.transform[axis] > 0 else -1
+                off[axis] = off[axis] + s * cut
+            conns.append(dataclasses.replace(
+                c, donor_block=donor, offset=tuple(off),
+                rng=(tuple(r[0]), tuple(r[1]))))
 
         # internal stitch connection
         my_face = Face(2 * axis + (1 if part == 0 else 0))
-        tf = (1, 2, 3)
         off = [0, 0, 0]
         off[axis] = -cut if part == 0 else cut
         conns.append(B2BConnection(
             face=my_face, donor_block=(new_index if part == 0 else bi),
             donor_face=Face(2 * axis + (0 if part == 0 else 1)),
-            transform=tf, offset=tuple(off)))
+            transform=(1, 2, 3), offset=tuple(off)))
         return Block(name=f"{blk.name}_s{part}", x=x, bcs=bcs, conns=conns)
 
     blocks = list(mesh.blocks)
     blocks[bi] = part_block(0)
     blocks.append(part_block(1))
-    return MultiBlockMesh(blocks, name=mesh.name)
+
+    # phase B: remap every connection whose donor was the old block
+    out_blocks: List[Block] = []
+    for rbi, b in enumerate(blocks):
+        newconns: List[B2BConnection] = []
+        changed = False
+        for c in b.conns:
+            needs = (c.donor_block == _OLD_DONOR
+                     or (c.donor_block == bi and rbi not in (bi, new_index)))
+            if not needs:
+                newconns.append(c)
+                continue
+            changed = True
+            c0 = (dataclasses.replace(c, donor_block=bi)
+                  if c.donor_block == _OLD_DONOR else c)
+            newconns.extend(_remap_donor_conn(
+                c0, b.dims, bi, new_index, axis, cut, n))
+        out_blocks.append(
+            dataclasses.replace(b, conns=newconns) if changed else b)
+    return MultiBlockMesh(out_blocks, name=mesh.name)
 
 
 def balance_blocks(mesh: MultiBlockMesh, n_chips: int,

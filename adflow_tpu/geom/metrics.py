@@ -250,14 +250,22 @@ def extend_nodes_list(blocks, x_list):
                 ax = conn.face.axis
                 donor = blocks[conn.donor_block]
                 ddims = tuple(s - 1 for s in donor.x.shape[:3])
-                # my ghost node plane (node coords, -1..n+1 tangentially)
+                t_axes = [a for a in range(3) if a != ax]
+                # my ghost node plane (node coords, -1..n+1 tangentially;
+                # partial-face connections restrict to their rng window,
+                # extended past it only at physical block ends — interior
+                # ends are split seams owned by the sibling window)
                 rngs = []
                 for m in range(3):
                     if m == ax:
                         rngs.append(_np.array(
                             [dims[ax] + 1 if conn.face.is_high else -1]))
                     else:
-                        rngs.append(_np.arange(-1, dims[m] + 2))
+                        rlo, rhi = ((0, dims[m]) if conn.rng is None
+                                    else conn.rng[t_axes.index(m)])
+                        nlo = rlo - 1 if rlo == 0 else rlo
+                        nhi = rhi + 2 if rhi == dims[m] else rhi + 1
+                        rngs.append(_np.arange(nlo, nhi))
                 g = _np.stack(_np.meshgrid(*rngs, indexing="ij"), axis=-1)
                 d = _np.zeros_like(g)
                 for m in range(3):

@@ -51,8 +51,8 @@ class StencilOp(NamedTuple):
     D: jnp.ndarray                 # (ni,nj,nk,5,5)
     L: Tuple[jnp.ndarray, ...]     # per axis (ni,nj,nk,5,5), row i couples i-1
     U: Tuple[jnp.ndarray, ...]     # per axis, row i couples i+1
-    Dt: Optional[jnp.ndarray]      # (ni,nj,nk,nt) turbulence diagonal
-    Lt: Optional[tuple]            # per axis (ni,nj,nk,nt)
+    Dt: Optional[jnp.ndarray]      # (ni,nj,nk) turbulence scalar diagonal
+    Lt: Optional[tuple]            # per axis (ni,nj,nk); shared over nt vars
     Ut: Optional[tuple]
     turb_scale: Optional[tuple]    # system rows carry turbResScale
 
@@ -90,8 +90,7 @@ def build_stencil_jacobian(w, metrics, cfg, ref, dtinv,
         D = (dtinv + kappa * rtot)[..., None, None] * eye
     Dt = None
     if nt > 0:
-        Dt = jnp.broadcast_to((dtinv + kappa * rtot)[..., None],
-                              rtot.shape + (nt,))
+        Dt = dtinv + kappa * rtot
 
     Ls, Us, Lts, Uts = [], [], [], []
     for ax in range(3):
@@ -142,12 +141,8 @@ def build_stencil_jacobian(w, metrics, cfg, ref, dtinv,
             rho_p = w_p[..., IRHO]
             q_m = jnp.sum(w_m[..., IMX:IMZ + 1] * s_m, axis=-1) / rho_m
             q_p = jnp.sum(w_p[..., IMX:IMZ + 1] * s_p, axis=-1) / rho_p
-            Lts.append(jnp.broadcast_to(
-                (-0.5 * (q_m + kappa * lam_m))[..., None],
-                rtot.shape + (nt,)))
-            Uts.append(jnp.broadcast_to(
-                (0.5 * (q_p - kappa * lam_p))[..., None],
-                rtot.shape + (nt,)))
+            Lts.append(-0.5 * (q_m + kappa * lam_m))
+            Uts.append(0.5 * (q_p - kappa * lam_p))
     if matrix_split:
         # cross-axis scalar conditioning is already in |A|; no extra kappa
         pass
@@ -190,10 +185,10 @@ def stencil_apply(op: StencilOp, v):
         out = out + _bmm(op.U[ax], _roll_zero(vm, ax, -1))
     if v.shape[-1] > 5 and op.Dt is not None:
         vt = v[..., 5:]
-        ot = op.Dt * vt
+        ot = op.Dt[..., None] * vt
         for ax in range(3):
-            ot = ot + op.Lt[ax] * _roll_zero(vt, ax, 1)
-            ot = ot + op.Ut[ax] * _roll_zero(vt, ax, -1)
+            ot = ot + op.Lt[ax][..., None] * _roll_zero(vt, ax, 1)
+            ot = ot + op.Ut[ax][..., None] * _roll_zero(vt, ax, -1)
         out = jnp.concatenate([out, ot], axis=-1)
     return out
 

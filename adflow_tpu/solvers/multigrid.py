@@ -62,11 +62,19 @@ def coarsen_mesh(mesh: MultiBlockMesh) -> MultiBlockMesh:
             bcs.append(BCSubface(sf.face, sf.bc, sf.family, rng, sf.data))
         conns = []
         for cn in b.conns:
+            rng = None
+            if cn.rng is not None:
+                ax = cn.face.axis
+                t1, t2 = [a for a in range(3) if a != ax]
+                rng = tuple(
+                    (lo // fa, (hi + fa - 1) // fa)
+                    for (lo, hi), fa in zip(cn.rng, (f[t1], f[t2])))
             conns.append(B2BConnection(
                 face=cn.face, donor_block=cn.donor_block,
                 donor_face=cn.donor_face, transform=cn.transform,
                 offset=tuple(o // fa for o, fa in zip(cn.offset, f)),
-                rotation=cn.rotation, translation=cn.translation))
+                rotation=cn.rotation, translation=cn.translation,
+                rng=rng))
         blocks.append(Block(name=b.name, x=xc, bcs=bcs, conns=conns))
     if not any_coarse:
         raise ValueError("mesh cannot be coarsened further (all block "

@@ -55,6 +55,21 @@ def _timeit(f, *args, reps: int = 3):
     return best
 
 
+def _timeit_trials(f, *args, reps: int = 3, trials: int = 3,
+                   spacing_s: float = 15.0):
+    """Self-defending timing: the tunnel has multi-minute bad windows
+    (NOTES_TPU_INFRA.md fact 6) where the same binary runs 2-10x slower,
+    so a single measurement is meaningless. Run `trials` measurements
+    spaced `spacing_s` apart, publish the BEST plus the spread so a
+    regression claim needs all trials slow, not one."""
+    times = []
+    for t in range(trials):
+        if t > 0:
+            time.sleep(spacing_s)
+        times.append(_timeit(f, *args, reps=reps))
+    return min(times), times
+
+
 def residual_throughput(detail):
     import jax
     import jax.numpy as jnp
@@ -175,6 +190,53 @@ def residual_throughput(detail):
                 "mcell_evals_per_s": round(n_cells / dtx / 1e6, 2)}
         else:
             out["pallas_kernel"]["error"] = "output mismatch vs XLA"
+
+        # FULL residual with the Mosaic kernel via TWO EXECUTABLES: the
+        # halo fill jitted alone (pure XLA module) and the kernel jitted
+        # alone (pure Mosaic module). Composing both in ONE module
+        # device-faults (NOTES_TPU_INFRA.md fact 2); separate dispatches
+        # keep each module in its proven-working configuration while
+        # measuring the true full-eval cost (fill + kernel + 2 launches).
+        try:
+            @jax.jit
+            def fill_only(w_):
+                (wf_,) = fill_halos([w_], [BlockMetrics(
+                    siE=static_args[0], sjE=static_args[1],
+                    skE=static_args[2], vol=static_args[3],
+                    xc_ext=static_args[4])], topo, ref, winf)
+                return wf_
+
+            def full_two_dispatch(w_, *sa):
+                wf_ = fill_only(w_)
+                wf_.block_until_ready()
+                return fp(wf_, *sa)
+
+            # correctness gate vs the one-module XLA full path
+            @jax.jit
+            def xla_full_once(w_, siE, sjE, skE, vol, xc, dd, pI, pJ, pK):
+                m = BlockMetrics(siE=siE, sjE=sjE, skE=skE, vol=vol,
+                                 xc_ext=xc)
+                (wf_,) = fill_halos([w_], [m], topo, ref, winf)
+                return block_residual(wf_, m, cfg_x, ref,
+                                      {"walldist": dd}, por=(pI, pJ, pK))
+
+            rf = full_two_dispatch(wr, *static_args)
+            rf.block_until_ready()
+            rxf = xla_full_once(wr, *static_args)
+            errf = float(jnp.max(jnp.abs(rf - rxf))
+                         / jnp.maximum(jnp.max(jnp.abs(rxf)), 1e-30))
+            ent = {"max_rel_err_vs_xla": round(errf, 8)}
+            if errf < 1e-3:
+                dtf = _timeit(full_two_dispatch, wr, *static_args, reps=5)
+                dtxf = _timeit(xla_full_once, wr, *static_args, reps=5)
+                ent.update(ms_per_eval=round(dtf * 1e3, 3),
+                           mcell_evals_per_s=round(n_cells / dtf / 1e6, 2))
+                ent["xla_full_single_eval_ms"] = round(dtxf * 1e3, 3)
+            else:
+                ent["error"] = "output mismatch vs XLA full"
+            out["pallas_full_two_dispatch"] = ent
+        except Exception as e:
+            out["pallas_full_two_dispatch"] = {"error": str(e)[:140]}
         detail["throughput"] = out
         detail["n_cells"] = n_cells
         return 0.0
@@ -182,9 +244,17 @@ def residual_throughput(detail):
     for name, use_pallas, with_fill in variants:
         try:
             fn = make_fn(use_pallas, with_fill)
-            dt = _timeit(fn, w, *static_args) / reps
+            # headline variant gets the multi-trial defense; the secondary
+            # kernel-only variant one trial (context, not headline)
+            n_trials = 3 if name == "xla_full" else 1
+            dt_total, trials = _timeit_trials(fn, w, *static_args,
+                                              trials=n_trials)
+            dt = dt_total / reps
             entry = {"ms_per_eval": round(dt * 1e3, 3),
                      "mcell_evals_per_s": round(n_cells / dt / 1e6, 2)}
+            if n_trials > 1:
+                entry["trial_ms_per_eval"] = [
+                    round(t / reps * 1e3, 3) for t in trials]
             try:
                 ca = fn.lower(w, *static_args).compile().cost_analysis()
                 ca = ca[0] if isinstance(ca, (list, tuple)) else ca

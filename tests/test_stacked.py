@@ -174,3 +174,50 @@ def test_stacked_sharded_8dev_matches_1dev():
     err = np.abs(w1 - w4).max() / scale
     assert err < 1e-10, f"sharded stacked mismatch {err}"
     assert abs(n1 - n4).max() / (np.abs(n1).max() + 1e-12) < 1e-10
+
+
+def test_cross_block_donor_remap_invariance():
+    """Split a block that ANOTHER block connects into: the donor-side
+    remap must produce partial-face (rng) connections and leave the
+    reassembled residual unchanged (loadBalance.F90:880
+    splitBlocksLoadBalance donor remapping)."""
+    mesh, cfg, ref, winf = _setup("euler")
+    # first split along k -> two cross-connected blocks (0 <-> 1)
+    m1 = split_block(mesh, 0, 2, 4)
+    # now split block 0 along j: block 1's connection INTO block 0 must be
+    # remapped (it is lateral to the cut -> splits into two rng windows)
+    m2 = split_block(m1, 0, 1, 6)
+    rngs = [c.rng for b in m2.blocks for c in b.conns if c.rng is not None]
+    assert rngs, "expected partial-face connections after donor remap"
+
+    w2, r_list = _list_residual(mesh, cfg, ref, winf)
+    wb = np.asarray(w2[0])
+    # states for the 3 parts from the unsplit field (halo-padded slices)
+    w_by_block = [
+        jnp.asarray(wb[:, :6 + 4, :4 + 4]),       # block 0: j<6,  k<4
+        jnp.asarray(wb[:, :, 4:]),                # block 1: k>=4
+        jnp.asarray(wb[:, 6:, :4 + 4]),           # block 2: j>=6, k<4
+    ]
+    prob, r_st = _stacked_residual_of(m2, cfg, ref, winf, w_by_block)
+
+    a = np.asarray(r_list[0])
+    scale = np.abs(a).max(axis=(0, 1, 2)) + 1e-12
+    low = np.concatenate(
+        [r_st[prob.order.index(0)][:32, :6, :4],
+         r_st[prob.order.index(2)][:32, :6, :4]], axis=1)
+    recon = np.concatenate(
+        [low, r_st[prob.order.index(1)][:32, :12, :4]], axis=2)
+    err = np.max(np.abs(a - recon) / scale)
+    assert err < 1e-10, f"cross-block donor remap mismatch: {err}"
+
+    # the per-block-list path (build_conn_ops) must agree too
+    from adflow_tpu.geom.metrics import compute_metrics_conn
+    topo2 = build_topology(m2)
+    mets2 = compute_metrics_conn(
+        m2.blocks, [jnp.asarray(b.x) for b in m2.blocks])
+    r_l2 = residual_list(w_by_block, mets2, topo2, cfg, ref, winf, None)
+    low2 = np.concatenate(
+        [np.asarray(r_l2[0]), np.asarray(r_l2[2])], axis=1)
+    recon2 = np.concatenate([low2, np.asarray(r_l2[1])], axis=2)
+    err2 = np.max(np.abs(a - recon2) / scale)
+    assert err2 < 1e-10, f"list-path donor remap mismatch: {err2}"
