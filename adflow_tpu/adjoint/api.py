@@ -178,6 +178,29 @@ def solve_adjoint_system(fns: AdjointFns, solver, wvec, xvec, params,
         precond = _transposed_amg_pc(nfns, solver, wvec)
     else:
         precond = _transposed_line_pc(nfns, wvec)
+
+    if bool(solver.options["frozenTurbulence"]) and solver.cfg.rans:
+        # frozenTurbulence (reference: inputADjoint frozenTurbulence —
+        # the adjoint ignores turbulence-model variation): project the
+        # transposed system onto the mean-flow rows, identity on the
+        # turbulence rows, so psi_turb = 0 and no dR_turb/dw couplings
+        # enter the totals.
+        packer = nfns.packer
+        mask = jnp.concatenate([
+            jnp.broadcast_to(jnp.arange(packer.nw) < 5,
+                             tuple(d) + (packer.nw,)).reshape(-1)
+            for d in packer.block_dims]).astype(rhs.dtype)
+        mv0, pc0 = matvec, precond
+
+        def matvec(v):
+            return mask * mv0(mask * v) + (1.0 - mask) * v
+
+        def precond(v):
+            return mask * pc0(mask * v) + (1.0 - mask) * v
+
+        rhs = mask * rhs
+        if psi0 is not None:
+            psi0 = mask * psi0
     sol = gmres(matvec, rhs, x0=psi0, m=subspace, restarts=restarts,
                 tol=tol, atol=abs_tol or 0.0, precond=precond)
     return sol

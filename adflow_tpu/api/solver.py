@@ -245,6 +245,7 @@ class ADFLOW:
             self.setAeroProblem(ap)
         if self.options["restartFile"]:
             self._load_restart()
+            self._fresh_state = False
             return
         self.w_list = [
             jnp.broadcast_to(
@@ -253,6 +254,8 @@ class ADFLOW:
             ).astype(self.dtype)
             for b in self.mesh.blocks
         ]
+        # uniform init: eligible for an FMG start (solvers.F90:63)
+        self._fresh_state = True
 
     # ------------------------------------------------------------------
     def __call__(self, ap: AeroProblem, **kwargs):
@@ -351,6 +354,7 @@ class ADFLOW:
         self._sigmon = sigmon
         try:
             sigmon.__enter__()
+            self._fmg_start(opt)
             if use_nk or use_ank:
                 from adflow_tpu.solvers.newton import solve_newton_driver
                 self.w_list, info = solve_newton_driver(
@@ -386,6 +390,7 @@ class ADFLOW:
                     signal_check=sigmon.check)
         finally:
             sigmon.__exit__()
+        self._fresh_state = False
         self.solve_info = info
         ap.solveFailed = bool(info.failed)
         ap.fatalFail = bool(info.failed)
@@ -396,6 +401,66 @@ class ADFLOW:
         return
 
     # ------------------------------------------------------------------
+    def _fmg_start(self, opt):
+        """Full-multigrid start (reference: the mgStartLevel groundLevel
+        loop, solvers.F90:63 + FMG transfer transferToFineGrid:326):
+        converge cheap agglomerated-coarse problems with the Newton driver
+        (nCyclesCoarse / L2ConvergenceCoarse budgets) and prolong the
+        result as the fine-grid initial state. Runs only from a uniform
+        free-stream init (MGStartLevel 1 disables; -1 = as coarse as the
+        mesh allows, like the reference default)."""
+        lvl_opt = int(opt["MGStartLevel"])
+        if lvl_opt == 1 or not getattr(self, "_fresh_state", False):
+            return
+        from adflow_tpu.solvers.multigrid import (build_mg_levels,
+                                                  parse_mg_cycle,
+                                                  prolong_correction)
+        from adflow_tpu.solvers.newton import solve_newton_driver
+
+        # -1 = start at the coarsest level of the MGCycle (reference
+        # default): with the single-grid 'sg' cycle that is level 1 — no
+        # FMG unless the user asks for levels explicitly
+        want = (parse_mg_cycle(str(opt["MGCycle"]))[0] if lvl_opt < 0
+                else max(lvl_opt, 1))
+        if want < 2:
+            return
+        try:
+            levels = build_mg_levels(self.mesh, self.x_list, self.cfg,
+                                     want, self.dtype)
+        except ValueError:
+            return
+        if len(levels) < 2:
+            return
+        sub = self.options.asdict()
+        sub["nCycles"] = int(opt["nCyclesCoarse"])
+        sub["L2Convergence"] = float(opt["L2ConvergenceCoarse"])
+        sub["printIterations"] = False
+
+        def fresh(level):
+            return [jnp.broadcast_to(
+                self.winf, tuple(d + 4 for d in bs.dims) + (self.ref.nw,)
+            ).astype(self.dtype) for bs in level.topo.blocks]
+
+        w_c = None
+        for li in range(len(levels) - 1, 0, -1):
+            level = levels[li]
+            if w_c is None:
+                w_c = fresh(level)
+            w_c, info_c = solve_newton_driver(
+                w_c, list(level.metrics_list), level.topo, self.cfg,
+                self.ref, self.winf, sub,
+                extras_list=(list(level.extras_list)
+                             if level.extras_list else None))
+            if info_c.failed:
+                return   # keep the free-stream init
+            fine = levels[li - 1]
+            w_f = fresh(fine)
+            w_c = [
+                wf.at[2:-2, 2:-2, 2:-2].set(prolong_correction(
+                    w_c[i][2:-2, 2:-2, 2:-2], fine.factors[i]))
+                for i, wf in enumerate(w_f)]
+        self.w_list = w_c
+
     def _mixed_data(self):
         """f64 companions for the mixed-precision NK phase
         (precision='mixed', solvers/newton.py make_mixed_nk): metrics are

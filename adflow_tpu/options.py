@@ -233,11 +233,11 @@ _INERT_OPTIONS = {
     "coarseDiscretization", "MGStartLevel", "nCyclesCoarse",
     "L2ConvergenceCoarse", "maxL2DeviationFactor",  # FMG start
     "dissipationLumpingParameter", "riemannSolver",
-    "nSubiterTurb", "ANKJacobianLag", "ANKPCUpdateTol", "ANKStepMin",
+    "nSubiterTurb", "ANKStepMin",
     "ANKConstCFLStep", "ANKSecondOrdSwitchTol", "ANKCoupledSwitchTol",
     "ANKUseTurbDADI", "ANKUseMatrixFree", "ANKNSubiterTurb",
-    "NKJacobianLag", "NKFixedStep",
-    "adjointMonitorStep", "ADPC", "frozenTurbulence",
+    "NKFixedStep",
+    "adjointMonitorStep", "ADPC",
     "applyAdjointPCSubspaceSize",
     "useBlockettes", "usePallasResidual",         # pallas blockette path
     "nearWallDist", "oversetProjTol", "useZipperMesh",

@@ -45,8 +45,19 @@ from adflow_tpu.solvers.linpc import (
     abs_flux_jacobians, block_tridiag_solve, flux_jacobians)
 
 
-class StencilOp(NamedTuple):
-    """7-point block-stencil operator on one mesh block's interior."""
+import dataclasses as _dc
+import functools as _ft
+
+
+@_ft.partial(jax.tree_util.register_dataclass,
+             data_fields=("D", "L", "U", "Dt", "Lt", "Ut"),
+             meta_fields=("turb_scale",))
+@_dc.dataclass(frozen=True)
+class StencilOp:
+    """7-point block-stencil operator on one mesh block's interior.
+
+    Registered pytree (turb_scale static) so the lagged hierarchy can be
+    passed into jitted Newton steps."""
 
     D: jnp.ndarray                 # (ni,nj,nk,5,5)
     L: Tuple[jnp.ndarray, ...]     # per axis (ni,nj,nk,5,5), row i couples i-1
@@ -54,7 +65,10 @@ class StencilOp(NamedTuple):
     Dt: Optional[jnp.ndarray]      # (ni,nj,nk) turbulence scalar diagonal
     Lt: Optional[tuple]            # per axis (ni,nj,nk); shared over nt vars
     Ut: Optional[tuple]
-    turb_scale: Optional[tuple]    # system rows carry turbResScale
+    turb_scale: Optional[tuple] = None    # system rows carry turbResScale
+
+    def _replace(self, **kw):
+        return _dc.replace(self, **kw)
 
 
 def build_stencil_jacobian(w, metrics, cfg, ref, dtinv,
@@ -347,7 +361,12 @@ def _prolong(z, f):
 # and strictly more global coupling for the shocked/transonic systems it
 # was built for).
 
-class AMGPCData(NamedTuple):
+@_ft.partial(jax.tree_util.register_dataclass,
+             data_fields=("line", "ops"),
+             meta_fields=("factors", "axis", "n_smooth", "coarse_damp",
+                          "transposed"))
+@_dc.dataclass(frozen=True)
+class AMGPCData:
     line: object        # LinePCData fine smoother
     ops: tuple          # StencilOp per level (0 = finest)
     factors: tuple      # (fi,fj,fk) between level l and l+1

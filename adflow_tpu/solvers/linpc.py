@@ -152,10 +152,21 @@ def block_tridiag_solve(L, D, U, rhs):
     return xs
 
 
-class LinePCData(NamedTuple):
+import dataclasses as _dc
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("mean", "turb", "dscalar"),
+                   meta_fields=("axes", "turb_scale"))
+@_dc.dataclass(frozen=True)
+class LinePCData:
     """Frozen per-block PC operators: for each sweep direction the block
     tridiagonal (L, D, U) in line-first axis order, plus the turbulence
-    scalar tridiagonal (lt, dt, ut) when nw > 5."""
+    scalar tridiagonal (lt, dt, ut) when nw > 5.
+
+    Registered as a pytree (axes/turb_scale static) so lagged PC data can
+    be built once and passed INTO jitted Newton steps — the reference's
+    Jacobian lag (NKJacobianLag/ANKJacobianLag, NKSolvers.F90:372)."""
 
     axes: tuple
     mean: list      # [(L, D, U)] per axis, arrays (n_ax, other..., 5, 5)

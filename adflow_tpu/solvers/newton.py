@@ -85,8 +85,27 @@ class NewtonFns(NamedTuple):
     rad_sum_cells: Callable       # wvec -> per-block per-cell radius sums
     make_precond: Callable        # (wvec, cfl) -> v -> M^-1 v  (line PC)
     collect_pc_data: Callable     # (wvec, cfl) -> [LinePCData] per block
+    build_pc: Callable            # (wvec, cfl, **kw) -> [PC data] per block
     packer: Packer
     row_scale_vec: Optional[jnp.ndarray] = None  # (nw,) turbResScale rows
+
+
+def _pc_apply_block(data, v):
+    """Apply one block's PC data (line or multigrid) — trace-time dispatch
+    on the (static) data type."""
+    from adflow_tpu.solvers.amg import AMGPCData, amg_pc_apply
+    from adflow_tpu.solvers.linpc import line_pc_apply
+
+    if isinstance(data, AMGPCData):
+        return amg_pc_apply(data, v)
+    return line_pc_apply(data, v)
+
+
+def pc_apply_vec(pc_data, packer: Packer, v):
+    """M^-1 v on the packed vector from per-block lagged PC data."""
+    vb = packer.unpack(v)
+    return packer.pack([_pc_apply_block(d, vv)
+                        for d, vv in zip(pc_data, vb)])
 
 
 def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
@@ -130,43 +149,36 @@ def build_newton_fns(template_w_list, metrics_list, topo: MeshTopology,
                               kappa=kappa)
                 for w, m, rs in zip(w_list, metrics_list, rs_list)]
 
-    def make_precond(wvec, cfl, axes=(1, 0, 2), kappa=1.0,
-                     pc_kind: str = "line", amg_levels: int = 2,
-                     amg_nsmooth: int = 1):
-        """Block preconditioner for (V/dt + dR/dw): line-implicit
+    def build_pc(wvec, cfl, axes=(1, 0, 2), kappa=1.0,
+                 pc_kind: str = "line", amg_levels: int = 2,
+                 amg_nsmooth: int = 1):
+        """Per-block PC data for (V/dt + dR/dw): line-implicit
         (solvers/linpc.py, the reference's ASM+ILU analogue) or Galerkin
         stencil multigrid (solvers/amg.py, the reference's amg.F90 —
-        *GlobalPreconditioner='multigrid')."""
+        *GlobalPreconditioner='multigrid'). Returned data is a pytree —
+        built OUTSIDE the step jit and lagged (NKJacobianLag)."""
         if pc_kind == "multigrid":
-            from adflow_tpu.solvers.amg import amg_pc_apply, build_amg_pc
+            from adflow_tpu.solvers.amg import build_amg_pc
             w_list_f, rs_list = rad_sum_cells(wvec)
-            data_list = [
+            return [
                 build_amg_pc(w, m, cfg, ref, dtinv=rs / cfl,
                              levels=amg_levels, n_smooth=amg_nsmooth,
                              axes=axes, kappa=kappa)
                 for w, m, rs in zip(w_list_f, metrics_list, rs_list)]
+        return collect_pc_data(wvec, cfl, axes, kappa)
 
-            def precond(v):
-                vb = packer.unpack(v)
-                zb = [amg_pc_apply(d, vv)
-                      for d, vv in zip(data_list, vb)]
-                return packer.pack(zb)
-
-            return precond
-
-        from adflow_tpu.solvers.linpc import line_pc_apply
-        data_list = collect_pc_data(wvec, cfl, axes, kappa)
+    def make_precond(wvec, cfl, axes=(1, 0, 2), kappa=1.0, **kw):
+        data_list = build_pc(wvec, cfl, axes=axes, kappa=kappa, **kw)
 
         def precond(v):
-            vb = packer.unpack(v)
-            zb = [line_pc_apply(d, vv) for d, vv in zip(data_list, vb)]
-            return packer.pack(zb)
+            return pc_apply_vec(data_list, packer, v)
 
         return precond
 
     return NewtonFns(res_flat=res_flat, rad_sum_cells=rad_sum_cells,
                      make_precond=make_precond,
-                     collect_pc_data=collect_pc_data, packer=packer,
+                     collect_pc_data=collect_pc_data, build_pc=build_pc,
+                     packer=packer,
                      row_scale_vec=cfg.row_scale(template_w_list[0].dtype))
 
 
@@ -230,11 +242,9 @@ def make_ank_step(fns: NewtonFns, opts):
     phys_tol = float(opts["ANKPhysicalLSTol"])
     phys_tol_turb = float(opts["ANKPhysicalLSTolTurb"])
     step_factor = float(opts["ANKStepFactor"])
-    pc_axes, pc_kappa = _pc_params(opts)
-    pc_kw = _pc_choice(opts, "ANK")
 
     @jax.jit
-    def ank_step(wvec, cfl):
+    def ank_step(wvec, cfl, pc_data):
         r = fns.res_flat(wvec)
         rnorm = jnp.linalg.norm(r)
         _, rs_list = fns.rad_sum_cells(wvec)
@@ -258,8 +268,9 @@ def make_ank_step(fns: NewtonFns, opts):
             _, jv = jax.jvp(fns.res_flat, (wvec,), (v,))
             return diag * v + jv
 
-        precond = fns.make_precond(wvec, cfl, axes=pc_axes, kappa=pc_kappa,
-                                   **pc_kw)
+        def precond(v):
+            return pc_apply_vec(pc_data, fns.packer, v)
+
         sol = gmres(matvec, -r, m=m, restarts=2, tol=lintol, precond=precond)
         alpha0 = physicality_alpha(wvec, sol.x, fns.packer, phys_tol,
                                    phys_tol_turb) * step_factor
@@ -294,11 +305,9 @@ def make_ank_step(fns: NewtonFns, opts):
 def make_nk_step(fns: NewtonFns, opts):
     m = int(opts["NKSubspaceSize"])
     ls_kind = str(opts["NKLS"]).lower()
-    pc_axes, pc_kappa = _pc_params(opts)
-    pc_kw = _pc_choice(opts, "NK")
 
     @jax.jit
-    def nk_step(wvec, eta):
+    def nk_step(wvec, eta, pc_data):
         r = fns.res_flat(wvec)
         rnorm = jnp.linalg.norm(r)
 
@@ -306,10 +315,11 @@ def make_nk_step(fns: NewtonFns, opts):
             _, jv = jax.jvp(fns.res_flat, (wvec,), (v,))
             return jv
 
-        # line PC with a large pseudo-CFL regularization (no dt in the
-        # Newton matrix itself; the PC still needs a nonsingular D)
-        precond = fns.make_precond(wvec, jnp.asarray(1e6, wvec.dtype),
-                                   axes=pc_axes, kappa=pc_kappa, **pc_kw)
+        # lagged PC built at a large pseudo-CFL regularization (no dt in
+        # the Newton matrix itself; the PC still needs a nonsingular D)
+        def precond(v):
+            return pc_apply_vec(pc_data, fns.packer, v)
+
         sol = gmres(matvec, -r, m=m, restarts=2, tol=eta, precond=precond)
         alpha0 = physicality_alpha(wvec, sol.x, fns.packer)
 
@@ -362,19 +372,39 @@ def make_mixed_nk(fns: NewtonFns, fns64: NewtonFns, opts):
     i.e. 1-2 orders/step down to the f64 floor.
     """
     m = int(opts["NKSubspaceSize"])
-    pc_axes, pc_kappa = _pc_params(opts)
-    pc_kw = _pc_choice(opts, "NK")
+    turb_cfl_scale = float(opts["ANKTurbCFLScale"])
 
     res64 = jax.jit(fns64.res_flat)
 
     @jax.jit
-    def lin_solve(w32, rhs32, eta):
+    def lin_solve(w32, rhs32, eta, cfl, pc_data):
+        """Pseudo-transient mixed step: solve (D/cfl + J) dw = rhs in f32.
+
+        The handover from f32 ANK can happen mid-transient (the stall
+        detector cannot distinguish the f32 noise floor from a physical
+        plateau), where a pure Newton system is unsolvable (measured:
+        GMRES linres 1.0); the pseudo-time diagonal with an SER-ramped CFL
+        makes the mixed phase a seamless continuation of ANK that
+        asymptotes to pure Newton as the f64 residual falls.
+        """
+        _, rs_list = fns.rad_sum_cells(w32)
+        chan = jnp.ones((fns.packer.nw,), w32.dtype)
+        if fns.row_scale_vec is not None:
+            chan = chan * fns.row_scale_vec
+        if turb_cfl_scale != 1.0 and fns.packer.nw > 5:
+            chan = chan.at[5:].divide(turb_cfl_scale)
+        diag = fns.packer.pack([
+            jnp.broadcast_to((rs / cfl)[..., None],
+                             rs.shape + (fns.packer.nw,)) * chan
+            for rs in rs_list])
+
         def matvec(v):
             _, jv = jax.jvp(fns.res_flat, (w32,), (v,))
-            return jv
+            return diag * v + jv
 
-        precond = fns.make_precond(w32, jnp.asarray(1e6, w32.dtype),
-                                   axes=pc_axes, kappa=pc_kappa, **pc_kw)
+        def precond(v):
+            return pc_apply_vec(pc_data, fns.packer, v)
+
         sol = gmres(matvec, rhs32, m=m, restarts=2, tol=eta,
                     precond=precond)
         alpha0 = physicality_alpha(w32, sol.x, fns.packer)
@@ -382,6 +412,34 @@ def make_mixed_nk(fns: NewtonFns, fns64: NewtonFns, opts):
                 sol.res_norm / jnp.maximum(sol.b_norm, 1e-30))
 
     return res64, lin_solve
+
+
+class _LaggedPC:
+    """Jacobian/PC lagging (reference: NKJacobianLag / ANKJacobianLag /
+    ANKPCUpdateTol, NKSolvers.F90:372,559): rebuild the per-block PC data
+    only every ``lag`` iterations, or when the residual dropped past
+    ``update_tol`` x the build-time residual, or when the CFL moved more
+    than 4x from the build-time CFL — between rebuilds the (expensive,
+    jacfwd-assembled) PC is reused as a frozen pytree argument."""
+
+    def __init__(self, fns: NewtonFns, opts, prefix: str, lag_opt: str):
+        axes, kappa = _pc_params(opts)
+        kw = _pc_choice(opts, prefix)
+        self._build = jax.jit(lambda w, c: fns.build_pc(
+            w, c, axes=axes, kappa=kappa, **kw))
+        self.lag = max(int(opts[lag_opt]), 1)
+        self.update_tol = float(opts["ANKPCUpdateTol"])
+        self.data = None
+        self._it = self._r = self._cfl = None
+
+    def get(self, it, wvec, rnorm, cfl):
+        stale = (self.data is None or (it - self._it) >= self.lag
+                 or rnorm <= self.update_tol * self._r
+                 or not (0.25 <= cfl / self._cfl <= 4.0))
+        if stale:
+            self.data = self._build(wvec, jnp.asarray(cfl, wvec.dtype))
+            self._it, self._r, self._cfl = it, rnorm, cfl
+        return self.data
 
 
 # ---------------------------------------------------------------------------
@@ -481,6 +539,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         # detect the stall and hand the state to the f64-outer NK instead
         # of burning the cycle budget at the floor
         stall_ref, stall_count = rnorm, 0
+        lagged = _LaggedPC(fns, opts, "ANK", "ANKJacobianLag")
         while it < n_cycles and rnorm > target and not failed:
             if use_nk and rnorm <= nk_switch:
                 break
@@ -492,7 +551,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                     lambda: fns.packer.unpack_into(wvec, w_list)) == "stop":
                 break
             wnew, rn, rnew, alpha, kiters, linres, umerit = ank_step(
-                wvec, jnp.asarray(cfl, dtype))
+                wvec, jnp.asarray(cfl, dtype),
+                lagged.get(it, wvec, rnorm, cfl))
             rnew_f = float(rnew)
             linres_f = float(linres)
             it += 1
@@ -561,10 +621,18 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         eta_max = float(opts["NKLinearSolveTol"])
         use_ew = bool(opts["NKUseEW"])
         ew_exp = float(opts["NKEWRTolExponent"])
+        cutback = float(opts["ANKCFLCutback"])
         eta = eta_max
         w64 = jnp.asarray(wvec, jnp.float64)
         r64 = res64(w64)
         rnorm = float(jnp.linalg.norm(r64))
+        r_mix0 = rnorm
+        # pseudo-transient continuation: start from a moderate CFL and let
+        # the SER ramp take it to effectively-Newton as the residual falls
+        cfl = max(float(opts["ANKCFL0"]) * 10.0, 100.0)
+        cfl_max = 1e8
+        n_reject = 0
+        lagged = _LaggedPC(fns, opts, "NK", "NKJacobianLag")
         while it < n_cycles and rnorm > target and not failed:
             if deadline is not None and _time.time() >= deadline:
                 break
@@ -574,7 +642,9 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                 break
             w32 = w64.astype(dtype)
             dx32, alpha0, kiters, linres = lin_solve(
-                w32, (-r64).astype(dtype), jnp.asarray(eta, dtype))
+                w32, (-r64).astype(dtype), jnp.asarray(eta, dtype),
+                jnp.asarray(cfl, dtype),
+                lagged.get(it, w32, rnorm, cfl))
             dx64 = jnp.asarray(dx32, jnp.float64)
             alpha = float(alpha0)
             r_prev = rnorm
@@ -586,14 +656,25 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                 if np.isfinite(rn_try) and rn_try <= rnorm:
                     break
                 alpha *= 0.5
+            it += 1
             if not np.isfinite(rn_try):
                 failed = True
                 break
-            # non-monotone acceptance of the last trial (LSNM analogue)
+            if rn_try > 1.5 * rnorm:
+                # step rejected: the CFL outran the linear solver/physics
+                cfl = max(cfl * cutback, 1.0)
+                n_reject += 1
+                if n_reject > 25:
+                    failed = True
+                continue
+            n_reject = 0
+            # mild growth accepted (pseudo-transient), SER CFL ramp
             w64, r64, rnorm = w_try, r_try, rn_try
-            it += 1
+            cfl = min(max(cfl, 100.0 * (r_mix0 / max(rnorm, 1e-300))),
+                      cfl * 2.0, cfl_max)
             hist.append(np.array([[rnorm, 0.0]]))
-            _mon(it, rnorm, 0.0, linres=float(linres), itertype="NK64")
+            _mon(it, rnorm, 0.0, cfl=cfl, linres=float(linres),
+                 itertype="NK64")
             if use_ew:
                 eta = min(eta_max,
                           0.9 * (rnorm / max(r_prev, 1e-300)) ** ew_exp)
@@ -608,6 +689,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         ew_exp = float(opts["NKEWRTolExponent"])
         eta = eta_max
         r_prev = rnorm
+        lagged = _LaggedPC(fns, opts, "NK", "NKJacobianLag")
         while it < n_cycles and rnorm > target and not failed:
             if deadline is not None and _time.time() >= deadline:
                 break
@@ -615,7 +697,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                     lambda: fns.packer.unpack_into(wvec, w_list)) == "stop":
                 break
             wnew, rn, rnew, alpha, kiters, linres = nk_step(
-                wvec, jnp.asarray(eta, dtype))
+                wvec, jnp.asarray(eta, dtype),
+                lagged.get(it, wvec, rnorm, 1e6))
             rnew_f = float(rnew)
             if not np.isfinite(rnew_f):
                 failed = True
