@@ -401,6 +401,60 @@ class ADFLOW:
         return
 
     # ------------------------------------------------------------------
+    _BCVAR_MAP = {
+        "pressure": "P", "pressurestagnation": "Pt",
+        "temperaturestagnation": "Tt", "temperature": "T",
+        "density": "rho", "velocitymagnitude": "vmag",
+        "velocityx": "vx", "velocityy": "vy", "velocityz": "vz",
+        "velocitydir": "dir", "thrust": "thrust", "heat": "q",
+    }
+
+    def setBCVar(self, varName: str, value, familyGroup: str):
+        """Prescribe BC data on every subface of a family (the reference's
+        BC-data subsystem: AeroProblem.setBCVar ->
+        _getBCDataFromAeroProblem -> bcdata.setbcdata, pyADflow.py:3688,
+        src/bcdata/BCData.F90:1403).
+
+        ``value``: scalar or a PER-SUBFACE array over the subface's cell
+        window (T1, T2) in ascending-tangential-axis order — pressure
+        profiles, Pt/Tt maps, Twall distributions. Units follow each
+        datum's convention: P/Pt/rho/vmag nondimensional (p_ref = rho_inf
+        a_inf^2), Tt nondimensional by T_inf, wall 'Temperature' in
+        Kelvin (matches the isothermal-wall datum).
+        """
+        key = self._BCVAR_MAP.get(varName.lower().replace(" ", ""))
+        if key is None:
+            raise ValueError(
+                f"unknown BC variable '{varName}'; known: "
+                f"{sorted(self._BCVAR_MAP)}")
+        import dataclasses as _dc
+        n = 0
+        for b in self.mesh.blocks:
+            for i, sf in enumerate(b.bcs):
+                if sf.family == familyGroup:
+                    data = dict(sf.data or {})
+                    data[key] = (np.asarray(value)
+                                 if np.ndim(value) > 0 else float(value))
+                    b.bcs[i] = _dc.replace(sf, data=data)
+                    n += 1
+        if n == 0:
+            raise ValueError(
+                f"no BC subfaces in family '{familyGroup}'")
+        # prescribed data is baked into the static BC ops: rebuild
+        self.topo = build_topology(self.mesh, cut_callback=self._cut_cb)
+
+    def getBCData(self, familyGroup: Optional[str] = None):
+        """Current prescribed-BC data {family: {key: value}} (reference:
+        BCData query helpers)."""
+        out = {}
+        for b in self.mesh.blocks:
+            for sf in b.bcs:
+                if familyGroup is not None and sf.family != familyGroup:
+                    continue
+                if sf.data:
+                    out.setdefault(sf.family, {}).update(sf.data)
+        return out
+
     def _fmg_start(self, opt):
         """Full-multigrid start (reference: the mgStartLevel groundLevel
         loop, solvers.F90:63 + FMG transfer transferToFineGrid:326):
@@ -1327,14 +1381,23 @@ class ADFLOW:
                 out[name] = float(cb({d: base[d.lower()] for d in deps}))
             else:
                 _, fname, group = spec
+                wf = self._filled_w()
                 patches = [p for p in self.wall_patches
                            if group is None or p.family == group]
-                f = integrate_forces(self._filled_w(), self.x_list,
+                f = integrate_forces(wf, self.x_list,
                                      self.metrics_list, patches, self.ref,
                                      self.cfg,
                                      iblank_list=[bs.iblank for bs
                                                   in self.topo.blocks],
                                      extras_list=self.extras_list)
+                # family-restricted flow-through functions (mdot,
+                # aavgptot, ... — reference addFunction on inflow/outflow
+                # families, test_multiple_bc.py scenario)
+                fpatches = [p for p in self.flow_patches
+                            if group is None or p.family == group]
+                if fpatches:
+                    f.update(flow_through(wf, self.metrics_list, fpatches,
+                                          self.ref))
                 out[name] = float(cost_functions(f, self.ref)[fname])
         return out
 

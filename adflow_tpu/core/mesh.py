@@ -46,6 +46,16 @@ class BCType(enum.Enum):
     EXTRAPOLATE = "extrapolate"
     OVERSET = "overset"
     B2B_MATCH = "b2b"                         # internal 1-to-1 (not physical)
+    # bleed/engine faces (constants.F90:268-269): outflow shares the
+    # subsonic-outflow handler (BCRoutines.F90:163-168), inflow uses the
+    # subsonic-inflow massFlow treatment (BCRoutines.F90:987)
+    MASS_BLEED_INFLOW = "mass bleed inflow"
+    MASS_BLEED_OUTFLOW = "mass bleed outflow"
+    # external-coupling interfaces (constants.F90:276-281): ALL behaves as
+    # supersonic inflow with a prescribed full state (BCData.F90:2282)
+    DOMAIN_INTERFACE_ALL = "domain interface all"
+    DOMAIN_INTERFACE_P = "domain interface p"
+    DOMAIN_INTERFACE_RHO = "domain interface rho"
 
 
 # Wall BCs for force integration / wall distance.

@@ -259,6 +259,23 @@ def _sst_wall_turb(wi, ref, aux):
     return jnp.stack([-wi[..., ITURB], w_g], axis=-1)
 
 
+def _data_field(op: BCOp, key: str, default=None):
+    """Prescribed BC datum: scalar or PER-SUBFACE ARRAY (the reference's
+    BCData subsystem, src/bcdata/BCData.F90:1403 setBCData — p profiles,
+    Pt/Tt maps, Twall distributions settable from Python). Arrays are
+    given over the subface cell window (T1, T2) in sorted-tangential-axis
+    order and edge-padded to the op's extended ghost extent."""
+    val = None if op.data is None else op.data.get(key)
+    if val is None:
+        return default
+    if np.ndim(val) == 0:
+        return float(val)
+    arr = jnp.asarray(val)
+    if arr.ndim == 1 and key == "dir":
+        return arr
+    return jnp.pad(arr, (op.pad[0], op.pad[1]), mode="edge")
+
+
 def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
                  aux=None):
     """Ghost-cell state for one halo layer given mirror-interior state wi."""
@@ -320,7 +337,9 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
         return out
 
     if bc is BCType.NS_WALL_ISOTHERMAL:
-        twall = float(op.data["T"]) / ref.t_inf_dim if op.data else 1.0
+        # Twall: scalar or per-subface map (BCData.F90 TNS_Wall arrays)
+        tw = _data_field(op, "T")
+        twall = (tw / ref.t_inf_dim) if tw is not None else 1.0
         pi = pressure(wi)
         ti = gamma * pi / wi[..., IRHO]
         tg = jnp.maximum(2.0 * twall - ti, 0.05 * twall)
@@ -339,9 +358,12 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
     if bc is BCType.FARFIELD:
         return _farfield_state(wi, nhat, winf, gamma)
 
-    if bc is BCType.SUBSONIC_OUTFLOW:
-        p_spec = (float(op.data["P"]) if op.data and op.data.get("P")
-                  is not None else ref.p_inf)
+    if bc in (BCType.SUBSONIC_OUTFLOW, BCType.MASS_BLEED_OUTFLOW,
+              BCType.DOMAIN_INTERFACE_P):
+        # prescribed static pressure, scalar or per-subface profile
+        # (bleed outflow shares this handler, BCRoutines.F90:163-168;
+        # DomainInterfaceP feeds an external p field, BCData.F90:2359)
+        p_spec = _data_field(op, "P", ref.p_inf)
         pi = pressure(wi)
         pg = jnp.maximum(2.0 * p_spec - pi, 0.05 * p_spec)
         rho_g = wi[..., IRHO] * (pg / jnp.maximum(pi, 1e-12)) ** (1.0 / gamma)
@@ -353,18 +375,43 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
             out = jnp.concatenate([out, wi[..., ITURB:]], axis=-1)
         return out
 
-    if bc is BCType.SUBSONIC_INFLOW:
+    if bc in (BCType.SUBSONIC_INFLOW, BCType.MASS_BLEED_INFLOW):
+        if (bc is BCType.MASS_BLEED_INFLOW
+                or (op.data is not None and op.data.get("rho") is not None)):
+            # massFlow treatment (BCRoutines.F90:987): prescribed density
+            # + velocity (magnitude along the inward normal or explicit
+            # direction); static pressure extrapolated from the interior
+            rho_spec = _data_field(op, "rho", float(winf[IRHO]))
+            vmag = _data_field(op, "vmag", ref.mach)
+            dvec = _data_field(op, "dir")
+            d_in = (-nhat if dvec is None
+                    else jnp.broadcast_to(dvec, nhat.shape))
+            pi = pressure(wi)
+            rho_g = jnp.broadcast_to(jnp.asarray(rho_spec), pi.shape)
+            vg = (jnp.asarray(vmag)[..., None] * d_in
+                  if np.ndim(vmag) > 0 else vmag * d_in)
+            rhoe = pi / (gamma - 1.0) + 0.5 * rho_g * jnp.sum(
+                vg * vg, axis=-1)
+            out = jnp.concatenate(
+                [rho_g[..., None], rho_g[..., None] * vg, rhoe[..., None]],
+                axis=-1)
+            if wi.shape[-1] > ITURB:
+                out = jnp.concatenate(
+                    [out, jnp.broadcast_to(
+                        winf[ITURB:],
+                        out.shape[:-1] + (wi.shape[-1] - ITURB,))], axis=-1)
+            return out
         # prescribed total state + direction; static p from the interior
         # (BCRoutines.F90:804 bcSubsonicInflow, totalconditions branch)
         mach = ref.mach
         pt_def = ref.p_inf * (1 + 0.5 * (gamma - 1) * mach ** 2) ** (
             gamma / (gamma - 1))
         tt_def = 1.0 + 0.5 * (gamma - 1) * mach ** 2
-        pt = (float(op.data["Pt"]) if op.data and op.data.get("Pt")
-              is not None else pt_def)
-        tt = (float(op.data["Tt"]) if op.data and op.data.get("Tt")
-              is not None else tt_def)
-        d_in = -nhat  # inflow along inward normal unless specified
+        pt = _data_field(op, "Pt", pt_def)
+        tt = _data_field(op, "Tt", tt_def)
+        dvec = _data_field(op, "dir")
+        d_in = (-nhat if dvec is None
+                else jnp.broadcast_to(dvec, nhat.shape))
         pi = jnp.minimum(pressure(wi), pt * 0.9999)
         tg = tt * (pi / pt) ** ((gamma - 1.0) / gamma)
         v2 = jnp.maximum(2.0 * (tt - tg) / (gamma - 1.0), 1e-30)
@@ -381,8 +428,52 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
                                        + (wi.shape[-1] - ITURB,))], axis=-1)
         return out
 
-    if bc is BCType.SUPERSONIC_INFLOW:
-        return jnp.broadcast_to(winf, wi.shape)
+    if bc in (BCType.SUPERSONIC_INFLOW, BCType.DOMAIN_INTERFACE_ALL):
+        # prescribed full state (BCRoutines.F90:1411 bcSupersonicInflow;
+        # DomainInterfaceAll shares the prescribed-state treatment,
+        # BCData.F90:2282): per-subface (rho, vx, vy, vz, p) arrays or
+        # scalars; free stream when nothing is prescribed.
+        if op.data is None or not any(
+                op.data.get(k) is not None
+                for k in ("rho", "vx", "vy", "vz", "P")):
+            return jnp.broadcast_to(winf, wi.shape)
+        shp = wi.shape[:-1]
+        rho_f = float(winf[IRHO])
+        v_f = np.asarray(winf[IMX:IMZ + 1]) / rho_f
+        p_f = float((GAMMA - 1.0) * (winf[IRHOE]
+                                     - 0.5 * np.sum(winf[IMX:IMZ + 1] ** 2)
+                                     / rho_f))
+        rho = jnp.broadcast_to(jnp.asarray(
+            _data_field(op, "rho", rho_f)), shp)
+        vx = jnp.broadcast_to(jnp.asarray(
+            _data_field(op, "vx", float(v_f[0]))), shp)
+        vy = jnp.broadcast_to(jnp.asarray(
+            _data_field(op, "vy", float(v_f[1]))), shp)
+        vz = jnp.broadcast_to(jnp.asarray(
+            _data_field(op, "vz", float(v_f[2]))), shp)
+        p = jnp.broadcast_to(jnp.asarray(_data_field(op, "P", p_f)), shp)
+        rhoe = p / (gamma - 1.0) + 0.5 * rho * (vx**2 + vy**2 + vz**2)
+        out = jnp.stack([rho, rho * vx, rho * vy, rho * vz, rhoe], axis=-1)
+        if wi.shape[-1] > ITURB:
+            out = jnp.concatenate(
+                [out, jnp.broadcast_to(
+                    winf[ITURB:], shp + (wi.shape[-1] - ITURB,))], axis=-1)
+        return out
+
+    if bc is BCType.DOMAIN_INTERFACE_RHO:
+        # prescribed density only; velocity/pressure from the interior
+        # (BCData.F90:2448 domainInterfaceRho)
+        rho_spec = _data_field(op, "rho", float(winf[IRHO]))
+        pi = pressure(wi)
+        rho_g = jnp.broadcast_to(jnp.asarray(rho_spec), pi.shape)
+        v = wi[..., IMX:IMZ + 1] / wi[..., IRHO:IRHO + 1]
+        rhoe = pi / (gamma - 1.0) + 0.5 * rho_g * jnp.sum(v * v, axis=-1)
+        out = jnp.concatenate(
+            [rho_g[..., None], rho_g[..., None] * v, rhoe[..., None]],
+            axis=-1)
+        if wi.shape[-1] > ITURB:
+            out = jnp.concatenate([out, wi[..., ITURB:]], axis=-1)
+        return out
 
     if bc in (BCType.SUPERSONIC_OUTFLOW, BCType.EXTRAPOLATE):
         # zeroth-order extrapolation (robust; the reference offers linear,

@@ -543,7 +543,13 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         while it < n_cycles and rnorm > target and not failed:
             if use_nk and rnorm <= nk_switch:
                 break
-            if (mixed_data is not None and use_nk and stall_count >= 10):
+            # f32-floor handover: stall detection alone also fires on
+            # physical plateau transients (transonic shock settling at
+            # ~1e-1 rel) where the f64 Newton continuation would start
+            # from far too rough a state — require the residual to be at
+            # least 3 orders down (f32 floors sit at 1e-5..1e-6 rel)
+            if (mixed_data is not None and use_nk and stall_count >= 10
+                    and rnorm <= 1e-3 * r0):
                 break
             if deadline is not None and _time.time() >= deadline:
                 break
