@@ -69,6 +69,10 @@ def traced_reference_state(base: ReferenceState, params) -> ReferenceState:
     if "T" in params:
         # dimensional T_inf drives the Sutherland ratio S/T_inf
         extra["t_inf_dim"] = params["T"]
+    if "P" in params:
+        # freestream pressure DV (reference iDV['p']): reaches the
+        # dimensional cost functions through p_ref_dim = gamma P
+        extra["p_ref_dim"] = GAMMA * params["P"]
     if "xref" in params:
         extra["moment_ref"] = params["xref"]
     return dataclasses.replace(

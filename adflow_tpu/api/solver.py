@@ -341,6 +341,29 @@ class ADFLOW:
             self.ts_refs = refs
             self.w_list = w_inst[0]
             self.solve_info = info
+            # TS stability derivatives (reference inputTSStabDeriv
+            # TSAlphaMode cost functions cl0/clalpha/clalphadot/...):
+            # evaluate cl/cd/cmz per instance, Fourier-fit vs alpha(t)
+            self._ts_stab = None
+            if amp > 0.0 and omega > 0.0 and not info.failed:
+                coeffs = {"cl": [], "cd": [], "cmz": []}
+                ibl = [bs.iblank for bs in self.topo.blocks]
+                for q in range(n_inst):
+                    wfq = fill_halos(w_inst[q], self.metrics_list,
+                                     self.topo, refs[q], winfs[q])
+                    fq = integrate_forces(
+                        wfq, self.x_list, self.metrics_list,
+                        self.wall_patches, refs[q], self.cfg,
+                        iblank_list=ibl, extras_list=self.extras_list,
+                        patch_weights=self.wall_patch_weights)
+                    cq = cost_functions(fq, refs[q])
+                    for k in coeffs:
+                        coeffs[k].append(float(cq[k]))
+                from adflow_tpu.solvers.timespectral import (
+                    stability_derivatives)
+                self._ts_stab = stability_derivatives(
+                    coeffs, [r.alpha for r in refs], omega, period,
+                    ap.mach, ap.chordRef)
             ap.solveFailed = ap.fatalFail = bool(info.failed)
             if opt["printTiming"]:
                 print(f"  time spectral: {n_inst} instances, "
@@ -560,11 +583,14 @@ class ADFLOW:
                              iblank_list=ibl, extras_list=self.extras_list,
                              patch_weights=self.wall_patch_weights)
         f.update(wall_sensors(wf, self.metrics_list, self.wall_patches,
-                              self.ref, iblank_list=ibl))
+                              self.ref, iblank_list=ibl,
+                              x_list=self.x_list))
         if self.flow_patches:
             f.update(flow_through(wf, self.metrics_list, self.flow_patches,
                                   self.ref))
         all_funcs = cost_functions(f, self.ref)
+        if getattr(self, "_ts_stab", None):
+            all_funcs.update(self._ts_stab)
         if getattr(self, "_extra_funcs", None):
             all_funcs.update(self._eval_extra_funcs(all_funcs))
         for name in evalFuncs:
@@ -922,7 +948,9 @@ class ADFLOW:
             for di in (0, 1):
                 for dj in (0, 1):
                     nodal[di:n1 - 1 + di, dj:n2 - 1 + dj] += 0.25 * df
-            out.append(nodal.reshape(-1, 3))
+            # dimensional Newtons (reference getForces.F90 forces carry
+            # pRef): nondim force * rho_inf_dim a_inf_dim^2
+            out.append(nodal.reshape(-1, 3) * self.ref.p_ref_dim)
         return (np.concatenate(out) if out else np.zeros((0, 3)))
 
     def addActuatorRegion(self, axis1, axis2, radius: float,
@@ -1069,8 +1097,10 @@ class ADFLOW:
                 drag = np.zeros(nseg)
                 for c, df in data:
                     bins = np.clip(np.digitize(c, edges) - 1, 0, nseg - 1)
-                    np.add.at(lift, bins, df @ np.asarray(self.ref.lift_dir))
-                    np.add.at(drag, bins, df @ np.asarray(self.ref.drag_dir))
+                    np.add.at(lift, bins, self.ref.p_ref_dim
+                              * (df @ np.asarray(self.ref.lift_dir)))
+                    np.add.at(drag, bins, self.ref.p_ref_dim
+                              * (df @ np.asarray(self.ref.drag_dir)))
                 centers = 0.5 * (edges[:-1] + edges[1:])
                 width = edges[1] - edges[0]
                 f.write(f'ZONE T="dist_{"xyz"[axd]}" I={nseg}\n')
@@ -1107,6 +1137,7 @@ class ADFLOW:
                "beta": jnp.asarray(ap.beta, self.dtype),
                "mach": jnp.asarray(ap.mach, self.dtype),
                "T": jnp.asarray(ap.T, self.dtype),
+               "P": jnp.asarray(ap.P, self.dtype),
                "xref": jnp.asarray([ap.xRef, ap.yRef, ap.zRef],
                                    self.dtype)}
         if ap.reynolds and ap.reynolds > 0:

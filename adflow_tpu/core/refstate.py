@@ -190,6 +190,11 @@ class ReferenceState:
     k_inf: float = 0.0        # SST freestream k (nondim)
     omega_inf: float = 1.0    # SST freestream omega (nondim)
     reynolds: float = 0.0     # the AP Reynolds number (0 = inviscid)
+    # dimensionalization scale for forces/moments: rho_inf_dim a_inf_dim^2
+    # = gamma P_inf_dim (Pa). The freestream P/rho design-variable chains
+    # (reference iDV['p']/iDV['rho'], pyADflow.py:6450-6451) enter the
+    # dimensional cost functions through this field.
+    p_ref_dim: float = 1.0
     # wall-function wall treatment (reference: useWallFunctions option,
     # solverUtils.F90:2483 computeUtau + turbCurveFits.F90): when True,
     # viscous wall ghost velocities are scaled so the wall face produces
@@ -239,4 +244,5 @@ def make_reference_state(ap: AeroProblem, lift_index: int = 2,
         moment_ref=np.array([ap.xRef, ap.yRef, ap.zRef]), n_turb=n_turb,
         k_inf=k_inf, omega_inf=omega_inf,
         reynolds=float(ap.reynolds or 0.0),
+        p_ref_dim=ap.rho * ap.a_dim ** 2,
     )

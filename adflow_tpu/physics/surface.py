@@ -147,6 +147,12 @@ def integrate_forces(w_list, x_list, metrics_list,
     force_p = jnp.zeros(3)
     force_v = jnp.zeros(3)
     moment = jnp.zeros(3)
+    # center-of-force sums (surfaceIntegrations.F90:1149-1166 COFSumF*):
+    # cof[i, j] = sum over faces of df_i * xco_j (xco wrt the ORIGIN),
+    # cof_lift[j] = sum of (df . lift_dir) * xco_j
+    cof = jnp.zeros((3, 3))
+    cof_lift = jnp.zeros(3)
+    ld = jnp.asarray(ref.lift_dir)
     xref = jnp.asarray(ref.moment_ref)
     visc_cache = {}
     for ip, patch in enumerate(patches):
@@ -170,6 +176,7 @@ def integrate_forces(w_list, x_list, metrics_list,
         mom = jnp.sum(jnp.cross(xc - xref, dfp), axis=(0, 1))
         force_p = force_p + fp
         moment = moment + mom
+        df = dfp
 
         if patch.bc in VISCOUS_WALL_BCS and cfg is not None and cfg.viscous:
             ex = (extras_list[patch.block]
@@ -181,41 +188,91 @@ def integrate_forces(w_list, x_list, metrics_list,
             fv = jnp.sum(dfv, axis=(0, 1))
             force_v = force_v + fv
             moment = moment + jnp.sum(jnp.cross(xc - xref, dfv), axis=(0, 1))
+            df = df + dfv
 
-    return {"force_p": force_p, "force_v": force_v, "moment": moment}
+        cof = cof + jnp.einsum("tki,tkj->ij", df, xc)
+        cof_lift = cof_lift + jnp.einsum("tk,tkj->j", df @ ld, xc)
+
+    return {"force_p": force_p, "force_v": force_v, "moment": moment,
+            "cof": cof, "cof_lift": cof_lift}
 
 
 def cost_functions(forces: Dict[str, jnp.ndarray], ref: ReferenceState
                    ) -> Dict[str, jnp.ndarray]:
-    """Map integrated vectors to the coefficient menu (reference cost
-    functions, constants.F90:349-440, nCostFunction=104; the supported
-    subset grows with the features that feed it)."""
+    """Map integrated vectors to the cost-function menu.
+
+    Names follow the reference's python map (pyADflow.py:6471-6556
+    adflowCostFunctions -> constants.F90:349-440, nCostFunction = 104).
+    Dimensional functions (lift/drag/fx.../mx...) scale the nondim sums by
+    p_ref_dim = rho_inf_dim a_inf_dim^2 = gamma P_inf_dim, which is how
+    the freestream P/rho design variables reach force outputs (the
+    reference's iDV['p']/iDV['rho'] chains)."""
     qs = ref.q_inf * ref.area_ref
+    pdim = ref.p_ref_dim
     fp = forces["force_p"]
     fv = forces["force_v"]
-    f = fp + fv
+    fm = forces.get("flow_fm", jnp.zeros(3))
+    f = fp + fv + fm
     ld = jnp.asarray(ref.lift_dir)
     dd = jnp.asarray(ref.drag_dir)
     lift = f @ ld
     drag = f @ dd
     mom = forces["moment"] / (qs * ref.chord_ref)
     out = {
-        "lift": lift, "drag": drag,
+        # dimensional forces/moments (N, N m)
+        "lift": lift * pdim, "drag": drag * pdim,
+        "fx": f[0] * pdim, "fy": f[1] * pdim, "fz": f[2] * pdim,
+        "mx": forces["moment"][0] * pdim,
+        "my": forces["moment"][1] * pdim,
+        "mz": forces["moment"][2] * pdim,
+        "liftpressure": (fp @ ld) * pdim, "liftviscous": (fv @ ld) * pdim,
+        "liftmomentum": (fm @ ld) * pdim,
+        "dragpressure": (fp @ dd) * pdim, "dragviscous": (fv @ dd) * pdim,
+        "dragmomentum": (fm @ dd) * pdim,
+        "forcexpressure": fp[0] * pdim, "forceypressure": fp[1] * pdim,
+        "forcezpressure": fp[2] * pdim,
+        "forcexviscous": fv[0] * pdim, "forceyviscous": fv[1] * pdim,
+        "forcezviscous": fv[2] * pdim,
+        "forcexmomentum": fm[0] * pdim, "forceymomentum": fm[1] * pdim,
+        "forcezmomentum": fm[2] * pdim,
+        # coefficients
         "cl": lift / qs, "cd": drag / qs,
         "clp": (fp @ ld) / qs, "clv": (fv @ ld) / qs,
-        "cdp": (fp @ dd) / qs,
-        "cdv": (fv @ dd) / qs,
-        "fx": f[0], "fy": f[1], "fz": f[2],
+        "clm": (fm @ ld) / qs,
+        "cdp": (fp @ dd) / qs, "cdv": (fv @ dd) / qs,
+        "cdm": (fm @ dd) / qs,
         "cfx": f[0] / qs, "cfy": f[1] / qs, "cfz": f[2] / qs,
-        "mx": forces["moment"][0], "my": forces["moment"][1],
-        "mz": forces["moment"][2],
+        "cfxp": fp[0] / qs, "cfyp": fp[1] / qs, "cfzp": fp[2] / qs,
+        "cfxv": fv[0] / qs, "cfyv": fv[1] / qs, "cfzv": fv[2] / qs,
+        "cfxm": fm[0] / qs, "cfym": fm[1] / qs, "cfzm": fm[2] / qs,
         "cmx": mom[0], "cmy": mom[1], "cmz": mom[2],
     }
+    # center of force (constants.F90:90-101 costfuncCoForce** / CofLift*):
+    # per-component force centroid; zero when the component vanishes
+    if "cof" in forces:
+        cof = forces["cof"]
+        for i, nm in enumerate("xyz"):
+            safe = jnp.where(jnp.abs(f[i]) > 1e-30, f[i], 1.0)
+            on = jnp.abs(f[i]) > 1e-30
+            for j, nj in enumerate("xyz"):
+                out[f"cof{nm}{nj}"] = jnp.where(on, cof[i, j] / safe, 0.0)
+        safe_l = jnp.where(jnp.abs(lift) > 1e-30, lift, 1.0)
+        on_l = jnp.abs(lift) > 1e-30
+        for j, nj in enumerate("xyz"):
+            out[f"cofl{nj}"] = jnp.where(
+                on_l, forces["cof_lift"][j] / safe_l, 0.0)
+        # reference python aliases colx/coly/colz
+        out["colx"], out["coly"], out["colz"] = (
+            out["coflx"], out["cofly"], out["coflz"])
+    if "sepavg" in forces:
+        out["sepsensoravgx"] = forces["sepavg"][0]
+        out["sepsensoravgy"] = forces["sepavg"][1]
+        out["sepsensoravgz"] = forces["sepavg"][2]
     for k in ("sepsensor", "cavitation", "cpmin_exact", "area"):
         if k in forces:
             out[k] = forces[k]
     for k, v in forces.items():
-        if k.startswith("flow_"):
+        if k.startswith("flow_") and k != "flow_fm":
             out[k[5:]] = v
     return out
 
@@ -232,12 +289,14 @@ CAVITATION_RHO = 100.0  # KS sharpness for cpmin aggregation
 
 
 def wall_sensors(w_list, metrics_list, patches: Sequence[WallPatch],
-                 ref: ReferenceState, iblank_list=None
+                 ref: ReferenceState, iblank_list=None, x_list=None
                  ) -> Dict[str, jnp.ndarray]:
-    """Separation sensor (KS-smoothed backflow area fraction) and cavitation
-    sensor (smoothed -Cp exceedance area), reference
+    """Separation sensor (KS-smoothed backflow area fraction), its spatial
+    centroid sums (sepsensoravgx/y/z, iSepAvg) and cavitation sensor
+    (smoothed -Cp exceedance area), reference
     surfaceIntegrations.F90:406-520."""
     sep = jnp.zeros(())
+    sepavg = jnp.zeros(3)
     cav = jnp.zeros(())
     area = jnp.zeros(())
     cp_ks = jnp.zeros(())   # KS aggregation accumulator for cpmin
@@ -257,9 +316,12 @@ def wall_sensors(w_list, metrics_list, patches: Sequence[WallPatch],
         vhat = v / jnp.maximum(vmag, 1e-14)
         sdot = jnp.sum(vhat * vhat_inf, axis=-1)
         # sepSensor: ~1 where the near-wall flow opposes the free stream
-        sep = sep + jnp.sum(
-            da / (1.0 + jnp.exp(2.0 * SEP_SENSOR_SHARPNESS
-                                * (sdot - SEP_SENSOR_OFFSET))))
+        dsep = da / (1.0 + jnp.exp(2.0 * SEP_SENSOR_SHARPNESS
+                                   * (sdot - SEP_SENSOR_OFFSET)))
+        sep = sep + jnp.sum(dsep)
+        if x_list is not None:
+            xc = _patch_face_centers(x_list[patch.block], patch)
+            sepavg = sepavg + jnp.einsum("tk,tkj->j", dsep, xc)
         wg = w[patch.ghost_sl]
         p_face = 0.5 * (pressure(wi) + pressure(wg))
         cp = (p_face - ref.p_inf) / jnp.maximum(ref.q_inf, 1e-30)
@@ -270,6 +332,8 @@ def wall_sensors(w_list, metrics_list, patches: Sequence[WallPatch],
         cp_ks = cp_ks + jnp.sum(jnp.exp(-CAVITATION_RHO * cp) * da)
         area = area + jnp.sum(da)
     out = {"sepsensor": sep, "cavitation": cav, "area": area}
+    if x_list is not None:
+        out["sepavg"] = sepavg
     if patches:
         out["cpmin_exact"] = -jnp.log(cp_ks / jnp.maximum(area, 1e-30)) \
             / CAVITATION_RHO

@@ -636,7 +636,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         # pseudo-transient continuation: start from a moderate CFL and let
         # the SER ramp take it to effectively-Newton as the residual falls
         cfl = max(float(opts["ANKCFL0"]) * 10.0, 100.0)
-        cfl_max = 1e8
+        cfl_max = 1e7
         n_reject = 0
         lagged = _LaggedPC(fns, opts, "NK", "NKJacobianLag")
         while it < n_cycles and rnorm > target and not failed:
@@ -651,6 +651,19 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                 w32, (-r64).astype(dtype), jnp.asarray(eta, dtype),
                 jnp.asarray(cfl, dtype),
                 lagged.get(it, w32, rnorm, cfl))
+            it += 1
+            linres_f = float(linres)
+            if not np.isfinite(linres_f) or linres_f > 0.9:
+                # linear-solve breakdown (measured signature: linres -> 1,
+                # zero Krylov progress — the f32 line PC loses its
+                # diagonal at extreme CFL): back the CFL off hard and
+                # force a PC rebuild at the new conditioning
+                cfl = max(cfl / 10.0, 100.0)
+                lagged.data = None
+                n_reject += 1
+                if n_reject > 25:
+                    failed = True
+                continue
             dx64 = jnp.asarray(dx32, jnp.float64)
             alpha = float(alpha0)
             r_prev = rnorm
@@ -662,7 +675,6 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                 if np.isfinite(rn_try) and rn_try <= rnorm:
                     break
                 alpha *= 0.5
-            it += 1
             if not np.isfinite(rn_try):
                 failed = True
                 break
@@ -674,10 +686,11 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                     failed = True
                 continue
             n_reject = 0
-            # mild growth accepted (pseudo-transient), SER CFL ramp
+            # accepted (mild growth allowed, pseudo-transient); geometric
+            # CFL ramp — an SER jump straight to the ceiling breaks the
+            # f32 PC (see breakdown branch)
             w64, r64, rnorm = w_try, r_try, rn_try
-            cfl = min(max(cfl, 100.0 * (r_mix0 / max(rnorm, 1e-300))),
-                      cfl * 2.0, cfl_max)
+            cfl = min(cfl * 2.0, cfl_max)
             hist.append(np.array([[rnorm, 0.0]]))
             _mon(it, rnorm, 0.0, cfl=cfl, linres=float(linres),
                  itertype="NK64")

@@ -204,3 +204,44 @@ def solve_time_spectral(w_inst, metrics_list, topo: MeshTopology,
         total_r0=float(r0 or 0.0),
         total_r_final=float(h[-1]) if len(h) else float("nan"),
         history=np.stack([h, np.zeros_like(h)], axis=-1))
+
+
+def stability_derivatives(coeff_inst: dict, alphas_deg, omega: float,
+                          period: float, mach: float,
+                          chord_ref: float = 1.0) -> dict:
+    """Time-spectral stability derivatives from per-instance coefficients
+    (reference: inputTSStabDeriv TSAlphaMode post-processing — the
+    cl0/clalpha/clalphadot... cost functions, constants.F90:370-384,
+    computed from the converged alpha-oscillation TS solution).
+
+    For alpha(t) = alpha0 + A sin(omega t) each coefficient is fit by
+    least squares to  c(t) = c_mean + a sin(omega t) + b cos(omega t):
+      c_alpha    = a / A                      (per radian)
+      c_alphadot = b / (A * k),  k = omega * chord/(2 V)   (reduced freq;
+                   V = Mach in the solver's a_inf-based nondim time)
+      c_0        = c_mean - c_alpha * alpha0  (linear extrapolation)
+
+    coeff_inst: {name: array of n per-instance values} (e.g. 'cl', 'cd',
+    'cmz'); alphas_deg: per-instance alpha in DEGREES. Returns
+    {'cl0', 'clalpha', 'clalphadot', ...} keyed by each input name.
+    """
+    names = list(coeff_inst)
+    n = len(alphas_deg)
+    a_rad = np.radians(np.asarray(alphas_deg, float))
+    alpha0 = float(a_rad.mean())
+    da = a_rad - alpha0
+    amp = float(np.max(np.abs(da)))
+    t = np.arange(n) * period / n
+    X = np.stack([np.ones(n), np.sin(omega * t), np.cos(omega * t)],
+                 axis=1)
+    k = omega * chord_ref / (2.0 * max(mach, 1e-12))
+    out = {}
+    for nm in names:
+        y = np.asarray(coeff_inst[nm], float)
+        cmean, a, b = np.linalg.lstsq(X, y, rcond=None)[0]
+        c_alpha = a / max(amp, 1e-30)
+        c_adot = b / (max(amp, 1e-30) * max(k, 1e-30))
+        out[f"{nm}0"] = cmean - c_alpha * alpha0
+        out[f"{nm}alpha"] = c_alpha
+        out[f"{nm}alphadot"] = c_adot
+    return out

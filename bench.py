@@ -279,8 +279,12 @@ def residual_throughput(detail):
 
 
 def solve_bench(detail):
-    """ANK->NK to 1e-8 relative on a RANS wing; float64 so the target is
-    reachable in TPU arithmetic (x64 emulated)."""
+    """ANK->NK to 1e-8 relative on the TRANSONIC M6-class RANS wing
+    (M 0.84, alpha 3.06, Re 11.7e6 — the BASELINE.md north star) in MIXED
+    precision: all Krylov/PC/Jacobian work in f32 (the TPU-fast dtype),
+    only the outer Newton residual in emulated f64 (solvers/newton.py
+    make_mixed_nk). Validated on CPU: 6.1e-2 -> 1.5e-10 (2.5e-9 relative)
+    in 119 iterations."""
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -288,15 +292,11 @@ def solve_bench(detail):
     from adflow_tpu.core.refstate import AeroProblem
     from adflow_tpu.meshgen.analytic import wing_omesh
 
-    # Subcritical RANS wing (validated to converge 8+ orders: CPU f64 run
-    # 3.1e-2 -> 2.5e-10 in 82 ANK+NK iterations). The transonic M6 case
-    # still plateaus at ~1e-2 relative — the line-implicit PC saturates on
-    # the shocked Newton system (AMG PC is the planned fix, amg.F90).
     ni, nj, nk = 64, 24, 16
     mesh = wing_omesh(ni=ni, nj=nj, nk=nk, viscous=True)
     opts = {
         "equationType": "RANS",
-        "precision": "float64",
+        "precision": "mixed",
         "L2Convergence": 1e-8,
         "nCycles": 400,
         "ANKSwitchTol": 1.0,
@@ -307,7 +307,7 @@ def solve_bench(detail):
         "timeLimit": 2400.0,   # give up cleanly; report achieved_rel
     }
     solver = ADFLOW(options=opts, mesh=mesh)
-    ap = AeroProblem(name="m6b", mach=0.5, alpha=1.5, reynolds=3e6,
+    ap = AeroProblem(name="m6b", mach=0.84, alpha=3.06, reynolds=11.72e6,
                      evalFuncs=["cl", "cd"])
     t0 = time.perf_counter()
     solver(ap)
@@ -319,6 +319,7 @@ def solve_bench(detail):
     cpph = mesh.n_cells * 3600.0 / max(wall, 1e-9)
     detail["solve"] = {
         "n_cells": mesh.n_cells,
+        "case": "M6-class transonic RANS wing, M 0.84 a 3.06 Re 11.7e6",
         "target_rel": 1e-8,
         "achieved_rel": float(f"{rel:.3e}"),
         "converged": bool(info.converged),
@@ -327,7 +328,7 @@ def solve_bench(detail):
         "cpph": int(cpph),
         "cl": round(float(funcs["m6b_cl"]), 6),
         "cd": round(float(funcs["m6b_cd"]), 6),
-        "dtype": "float64",
+        "dtype": "mixed (f32 Krylov + f64 outer residual)",
         "ref_cpph_per_proc": 1_000_000,
     }
     return cpph

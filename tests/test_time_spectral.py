@@ -61,3 +61,58 @@ def test_time_spectral_pitching_runs():
     w0 = np.asarray(s.ts_states[0][0])
     w1 = np.asarray(s.ts_states[1][0])
     assert np.abs(w0 - w1).max() > 1e-4   # instances genuinely differ
+
+
+def test_stability_derivative_fit_exact():
+    """The Fourier fit recovers manufactured derivatives exactly
+    (stability_derivatives, reference inputTSStabDeriv cost functions)."""
+    from adflow_tpu.solvers.timespectral import stability_derivatives
+    n = 8
+    omega = 3.0
+    period = 2 * np.pi / omega
+    mach, chord = 0.6, 1.0
+    t = np.arange(n) * period / n
+    alpha0, amp = np.radians(1.0), np.radians(0.5)
+    alphas = np.degrees(alpha0 + amp * np.sin(omega * t))
+    k = omega * chord / (2 * mach)
+    cla, clad, cl0 = 5.5, -1.2, 0.11
+    cl = (cl0 + cla * (alpha0 + amp * np.sin(omega * t))
+          + clad * k * amp * np.cos(omega * t))
+    out = stability_derivatives({"cl": cl}, alphas, omega, period, mach,
+                                chord)
+    np.testing.assert_allclose(out["clalpha"], cla, rtol=1e-10)
+    np.testing.assert_allclose(out["clalphadot"], clad, rtol=1e-10)
+    np.testing.assert_allclose(out["cl0"], cl0, rtol=1e-8)
+
+
+def test_pitching_stability_derivatives():
+    """The converged pitching TS solution produces finite, correctly-signed
+    stability derivatives through the evalFunctions menu (cl0/clalpha/
+    clalphadot..., reference inputTSStabDeriv cost functions).
+
+    Note on magnitudes: farfield-alpha oscillation on a fixed 20-chord
+    O-mesh is strongly attenuated at finite reduced frequency (the
+    perturbation's travel time from the farfield is comparable to the
+    period), so clalpha here is far below the steady dCL/dalpha — that is
+    the physics of this formulation, not an error; the fit machinery
+    itself is verified exactly in test_stability_derivative_fit_exact."""
+    mesh = naca0012_omesh(ni=48, nj=16)
+    omega = 0.5
+    opts = {"equationType": "euler", "equationMode": "time spectral",
+            "timeIntervals": 5, "omegaFourier": omega,
+            "useANKSolver": False, "useNKSolver": False,
+            "nCycles": 1500, "CFL": 1.2, "L2Convergence": 1e-5,
+            "printIterations": False, "printTiming": False}
+    s = ADFLOW(options=opts, mesh=mesh)
+    ap = AeroProblem(name="tsd", mach=0.5, alpha=1.0, evalFuncs=["cl"])
+    s(ap, alphaAmplitude=0.5)
+    assert not s.solve_info.failed
+    funcs = {}
+    s.evalFunctions(ap, funcs, evalFuncs=["clalpha", "cl0", "clalphadot",
+                                          "cmzalpha"])
+    # in-phase response follows alpha (positive lift slope), values finite
+    assert funcs["tsd_clalpha"] > 0.0
+    assert np.isfinite(funcs["tsd_clalphadot"])
+    assert np.isfinite(funcs["tsd_cmzalpha"])
+    # cl0: linear extrapolation to alpha=0 sits below the mean CL
+    assert 0.0 < funcs["tsd_cl0"] < 0.13
