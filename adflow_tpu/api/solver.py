@@ -58,14 +58,24 @@ class _IterMonitor:
         self._header = False
 
     def _functions(self, w_list):
+        # jitted once per solve: the naive eager path re-dispatched the
+        # whole halo-fill + integration op-by-op EVERY iteration (weak
+        # spot flagged in round 3) — one compiled executable amortizes it
         s = self.solver
-        wf = fill_halos(w_list, s.metrics_list, s.topo, s.ref, s.winf)
-        ibl = [bs.iblank for bs in s.topo.blocks]
-        f = integrate_forces(wf, s.x_list, s.metrics_list, s.wall_patches,
-                             s.ref, s.cfg, iblank_list=ibl,
-                             extras_list=s.extras_list,
-                             patch_weights=s.wall_patch_weights)
-        return cost_functions(f, s.ref)
+        if not hasattr(self, "_fn_jit"):
+            def _compute(w_list):
+                wf = fill_halos(w_list, s.metrics_list, s.topo, s.ref,
+                                s.winf)
+                ibl = [bs.iblank for bs in s.topo.blocks]
+                f = integrate_forces(
+                    wf, s.x_list, s.metrics_list, s.wall_patches, s.ref,
+                    s.cfg, iblank_list=ibl, extras_list=s.extras_list,
+                    patch_weights=s.wall_patch_weights)
+                out = cost_functions(f, s.ref)
+                return {k: v for k, v in out.items()
+                        if np.ndim(v) == 0}
+            self._fn_jit = jax.jit(_compute)
+        return {k: float(v) for k, v in self._fn_jit(w_list).items()}
 
     def __call__(self, it, rm, rt, w_list=None, cfl=None, linres=None,
                  itertype=""):
@@ -185,6 +195,7 @@ class ADFLOW:
         self.winf = None
         self.w_list: Optional[List[jnp.ndarray]] = None
         self._ap_states: Dict[str, list] = {}
+        self._ap_winfs: Dict[str, object] = {}
         self.solve_info = None
 
     # ------------------------------------------------------------------
@@ -205,6 +216,8 @@ class ADFLOW:
             return
         if self.curAP is not None and self.w_list is not None:
             self._ap_states[self.curAP.name] = self.w_list
+            self._ap_winfs[self.curAP.name] = getattr(
+                self, "_state_winf", None)
         self.curAP = ap
         self.ref = make_reference_state(
             ap, lift_index=int(self.options["liftIndex"]),
@@ -234,8 +247,13 @@ class ADFLOW:
             self.metrics_list = list(self._metrics_base)
         if ap.name in self._ap_states:
             self.w_list = self._ap_states[ap.name]
+            self._state_winf = self._ap_winfs.get(ap.name,
+                                                  getattr(self,
+                                                          "_state_winf",
+                                                          None))
         else:
             self.resetFlow(ap)
+        self._inf_change_correction()
 
     def resetFlow(self, ap: Optional[AeroProblem] = None):
         """Free-stream (or restart-file) initialization (reference:
@@ -246,6 +264,7 @@ class ADFLOW:
         if self.options["restartFile"]:
             self._load_restart()
             self._fresh_state = False
+            self._state_winf = np.asarray(self.ref.winf())
             return
         self.w_list = [
             jnp.broadcast_to(
@@ -256,6 +275,7 @@ class ADFLOW:
         ]
         # uniform init: eligible for an FMG start (solvers.F90:63)
         self._fresh_state = True
+        self._state_winf = np.asarray(self.ref.winf())
 
     # ------------------------------------------------------------------
     def __call__(self, ap: AeroProblem, **kwargs):
@@ -422,6 +442,64 @@ class ADFLOW:
                   f"({info.iterations} iterations, "
                   f"R {info.total_r0:.3e} -> {info.total_r_final:.3e})")
         return
+
+    # ------------------------------------------------------------------
+    def _inf_change_correction(self):
+        """Adjust the existing state to a changed free stream (reference:
+        initializeFlow.F90:191 infChangeCorrection): 'offset' adds the
+        conservative winf delta to every interior cell; 'rotate' rotates
+        and rescales cell velocities by the free-stream velocity change
+        and offsets rho/rhoE. Saves the startup transient when alpha/mach
+        move between solves (solveCL secant steps, AP sweeps)."""
+        opt = self.options
+        old = getattr(self, "_state_winf", None)
+        wnew = np.asarray(self.ref.winf())
+        if (not bool(opt["infChangeCorrection"]) or old is None
+                or self.w_list is None
+                or len(old) != len(wnew)):
+            self._state_winf = wnew
+            return
+        d = wnew[:5] - np.asarray(old)[:5]
+        if np.linalg.norm(d) < float(opt["infChangeCorrectionTol"]):
+            self._state_winf = wnew
+            return
+        kind = str(opt["infChangeCorrectionType"]).lower()
+        dvec = jnp.asarray(d, self.dtype)
+        if kind == "offset":
+            self.w_list = [
+                w.at[2:-2, 2:-2, 2:-2, :5].add(dvec) for w in self.w_list]
+        else:
+            v1 = np.asarray(old)[1:4] / max(float(old[0]), 1e-30)
+            v2 = wnew[1:4] / max(float(wnew[0]), 1e-30)
+            m1 = np.linalg.norm(v1)
+            m2 = np.linalg.norm(v2)
+            # rotation matrix taking v1 to v2 (Rodrigues)
+            if m1 > 1e-14 and m2 > 1e-14:
+                a = v1 / m1
+                b = v2 / m2
+                c = float(np.dot(a, b))
+                k = np.cross(a, b)
+                s = np.linalg.norm(k)
+                if s < 1e-14:
+                    R = np.eye(3) * (1.0 if c > 0 else -1.0)
+                else:
+                    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                                  [-k[1], k[0], 0]]) / s
+                    R = (np.eye(3) + s * K + (1 - c) * (K @ K))
+                Rj = jnp.asarray(R * (m2 / max(m1, 1e-30)), self.dtype)
+                out = []
+                for w in self.w_list:
+                    wi = w[2:-2, 2:-2, 2:-2]
+                    rho = wi[..., 0:1]
+                    v = wi[..., 1:4] / rho
+                    rho_n = rho + dvec[0]
+                    vn = jnp.einsum("ab,ijkb->ijka", Rj, v)
+                    w = w.at[2:-2, 2:-2, 2:-2, 0].add(dvec[0])
+                    w = w.at[2:-2, 2:-2, 2:-2, 1:4].set(rho_n * vn)
+                    w = w.at[2:-2, 2:-2, 2:-2, 4].add(dvec[4])
+                    out.append(w)
+                self.w_list = out
+        self._state_winf = wnew
 
     # ------------------------------------------------------------------
     _BCVAR_MAP = {
@@ -1440,8 +1518,16 @@ class ADFLOW:
     def _func_at(self, ap, dvs: dict, names):
         for k, v in dvs.items():
             setattr(ap, k, float(v))
+        if bool(self.options["infChangeCorrection"]) \
+                and self.w_list is not None and self.curAP is ap:
+            # keep the converged state: the free-stream-change correction
+            # warm-starts the next DV point (reference solveCL behavior
+            # with infChangeCorrection on)
+            self._ap_states[ap.name] = self.w_list
+            self._ap_winfs[ap.name] = getattr(self, "_state_winf", None)
+        else:
+            self._ap_states.pop(ap.name, None)
         self.curAP = None
-        self._ap_states.pop(ap.name, None)
         self(ap)
         funcs = {}
         self.evalFunctions(ap, funcs, evalFuncs=list(names))

@@ -95,6 +95,15 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "CFLLimit": 1.5,
     "rkReset": False,
 
+    # free-stream-change state correction (reference:
+    # initializeFlow.F90:191 infChangeCorrection, options at
+    # pyADflow.py:5704-5706): when the AP's free stream changes under an
+    # existing state (solveCL alpha steps, AP switches, restarts), shift/
+    # rotate the state instead of restarting the transient
+    "infChangeCorrection": True,
+    "infChangeCorrectionTol": 1e-12,
+    "infChangeCorrectionType": "offset",    # 'offset' | 'rotate'
+
     # Convergence
     "L2Convergence": 1e-8,
     "L2ConvergenceRel": 1e-16,
@@ -329,6 +338,7 @@ class Options:
         "adjointglobalpreconditioner": ("additive schwarz", "multigrid"),
         "precision": ("auto", "float32", "float64", "tf32", "mixed"),
         "haloexchangemode": ("gather", "ppermute"),
+        "infchangecorrectiontype": ("offset", "rotate"),
     }
 
     def _validate(self) -> None:

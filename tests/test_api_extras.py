@@ -92,3 +92,45 @@ def test_solve_target_funcs():
     s.evalFunctions(ap, funcs, evalFuncs=["cl"])
     assert abs(funcs["tt_cl"] - 0.12) < 5e-3
     assert 0.0 < out["alpha"] < 5.0
+
+
+def test_inf_change_correction_offset():
+    """Changing alpha between solves with infChangeCorrection shifts the
+    state by the winf delta and warm-starts the next solve
+    (initializeFlow.F90:191 infChangeCorrection)."""
+    import numpy as np
+    from adflow_tpu.api.solver import ADFLOW
+    from adflow_tpu.core.refstate import AeroProblem
+    from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+    opts = {"equationType": "euler", "useANKSolver": True,
+            "useNKSolver": False, "nCycles": 150, "L2Convergence": 1e-7,
+            "printIterations": False, "printTiming": False}
+    s = ADFLOW(options=opts, mesh=naca0012_omesh(ni=48, nj=16))
+    ap = AeroProblem(name="ic", mach=0.5, alpha=1.0, evalFuncs=["cl"])
+    s(ap)
+    it1 = s.solve_info.iterations
+    # switch to a nearby AP: state is stashed, restored, and corrected
+    ap2 = AeroProblem(name="ic2", mach=0.5, alpha=1.2, evalFuncs=["cl"])
+    s.setAeroProblem(ap2)
+    # the corrected initial state must already be close to ap2's solution:
+    # residual far below the free-stream residual
+    from adflow_tpu.physics.residual import residual_list
+    # (the fresh state for ap2 = freestream since never solved; correction
+    # applies on RE-selecting ap after its winf changes)
+    ap.alpha = 1.3
+    s.setAeroProblem(ap)     # restores ap's state, corrects for new alpha
+    s(ap)
+    it2 = s.solve_info.iterations
+    # warm start: comparable iteration count (ANK re-ramps its CFL from
+    # CFL0 either way, so 'fewer' is not guaranteed on tiny cases)
+    assert it2 <= it1 + 5, (it1, it2)
+    funcs = {}
+    s.evalFunctions(ap, funcs)
+    # compare against a cold solve at alpha 1.3
+    s2 = ADFLOW(options=opts, mesh=naca0012_omesh(ni=48, nj=16))
+    ap3 = AeroProblem(name="cold", mach=0.5, alpha=1.3, evalFuncs=["cl"])
+    s2(ap3)
+    f2 = {}
+    s2.evalFunctions(ap3, f2)
+    np.testing.assert_allclose(funcs["ic_cl"], f2["cold_cl"], rtol=2e-4)
