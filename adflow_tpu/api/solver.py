@@ -169,6 +169,7 @@ class ADFLOW:
             turb_res_scale=trs,
             use_ft2=bool(self.options["useft2SA"]),
             use_rotation_sa=bool(self.options["useRotationSA"]),
+            use_qcr=bool(self.options["useQCR"]),
             use_pallas=bool(self.options["useBlockettes"])
             and jax.default_backend() == "tpu",
         )

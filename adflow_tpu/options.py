@@ -237,7 +237,6 @@ _INERT_OPTIONS = {
     "rkReset", "RKReset", "turbulenceOrder",
     # --- pending features (tracked; remove from here when implemented) ---
     "flowType",                                   # internal-flow mode
-    "useQCR",                                     # SA-QCR stress correction
 
     "coarseDiscretization", "MGStartLevel", "nCyclesCoarse",
     "L2ConvergenceCoarse", "maxL2DeviationFactor",  # FMG start

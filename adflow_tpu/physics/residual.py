@@ -48,10 +48,12 @@ class ProblemConfig:
     # per-variable tuple; see ``turb_scales``. Scaled rows balance the
     # combined norm and the Newton system; explicit updates divide it back.
     turb_res_scale: object = 1.0
-    # SA variants (reference: useft2SA / useRotationSA options,
-    # inputPhysics.F90; sa.F90 source terms)
+    # SA variants (reference: useQCR / useRotationSA / useft2SA options,
+    # inputPhysics.F90; sa.F90 source terms; QCR2000 stress correction in
+    # the viscous flux, fluxes.F90:2742)
     use_ft2: bool = True
     use_rotation_sa: bool = False
+    use_qcr: bool = False
     # coarse-MG-level mode: constant 2nd-difference dissipation only
     # (fluxes.F90 coarse variants, option vis2Coarse)
     coarse_level: bool = False
@@ -205,6 +207,7 @@ def block_residual(w, metrics: BlockMetrics, cfg: ProblemConfig,
     # the composed path for configs the kernel doesn't cover.
     if (cfg.use_pallas and cfg.rans and cfg.turbulence_model == "sa"
             and not cfg.use_rotation_sa and not cfg.coarse_level
+            and not cfg.use_qcr
             and cfg.discretization.startswith("central")
             and "matrix" not in cfg.discretization
             and por is not None and metrics.vfIE is None

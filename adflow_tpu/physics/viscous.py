@@ -123,6 +123,7 @@ def _viscosity_fields(w, p, metrics, cfg, ref, extras=None):
     mu = laminar_viscosity(tE, ref.mu_inf, ref.t_inf_dim)
     mu_eff = mu
     k_eff = mu / (PR_LAMINAR * (GAMMA - 1.0))
+    mut = None
     if cfg.rans:
         if cfg.turbulence_model.startswith("sst"):
             from adflow_tpu.physics.sst import eddy_viscosity as mut_sst
@@ -134,7 +135,7 @@ def _viscosity_fields(w, p, metrics, cfg, ref, extras=None):
             mut = eddy_viscosity(wE, mu)
         mu_eff = mu_eff + mut
         k_eff = k_eff + mut / (PR_TURB * (GAMMA - 1.0))
-    return prim, g, mu_eff, k_eff
+    return prim, g, mu_eff, k_eff, mut
 
 
 def face_viscous_flux(w, p, metrics, cfg, ref, axis, extras=None,
@@ -146,7 +147,7 @@ def face_viscous_flux(w, p, metrics, cfg, ref, axis, extras=None,
     filled by viscousFlux, fluxes.F90:2534)."""
     if fields is None:
         fields = _viscosity_fields(w, p, metrics, cfg, ref, extras)
-    prim, g, mu_eff, k_eff = fields
+    prim, g, mu_eff, k_eff, mut = fields
     if xc_ext is None:
         xc_ext = metrics.xc_ext
     it = [slice(2, -2)] * 3
@@ -158,9 +159,22 @@ def face_viscous_flux(w, p, metrics, cfg, ref, axis, extras=None,
 
     gu = gf[..., 0:3, :]                                  # (faces.., 3, 3)
     div = gu[..., 0, 0] + gu[..., 1, 1] + gu[..., 2, 2]
-    tau = mu_f[..., None, None] * (gu + jnp.swapaxes(gu, -1, -2))
-    tau = tau - (2.0 / 3.0) * (mu_f * div)[..., None, None] \
-        * jnp.eye(3, dtype=w.dtype)
+    tauS = (gu + jnp.swapaxes(gu, -1, -2)) \
+        - (2.0 / 3.0) * div[..., None, None] * jnp.eye(3, dtype=w.dtype)
+    tau = mu_f[..., None, None] * tauS
+    if getattr(cfg, "use_qcr", False) and mut is not None:
+        # SA-QCR2000 (fluxes.F90:2742, TMR spalart.html):
+        # tau_QCR = tau - Ccr1 (O_ik tauS_jk + O_jk tauS_ik) * mu_t with
+        # O = 2 W / |grad u|; diagonal-zero vorticity W_ij = du_i/dx_j -
+        # du_j/dx_i; only the EDDY viscosity enters the correction
+        ccr1 = 0.3
+        mut_f = _face_avg(mut, axis)
+        den = jnp.sqrt(jnp.maximum(
+            jnp.sum(gu * gu, axis=(-1, -2)), 1e-28))
+        W = gu - jnp.swapaxes(gu, -1, -2)
+        A = jnp.einsum("...ik,...jk->...ij", W, tauS)
+        fact = (mut_f * ccr1 / den)[..., None, None]
+        tau = tau - fact * (A + jnp.swapaxes(A, -1, -2))
     fmom = jnp.einsum("...ab,...b->...a", tau, s)
 
     vel = prim[..., 0:3]

@@ -83,3 +83,55 @@ def test_turbulent_plate_wall_functions():
     rel = np.abs(cf[sel] / cf_turb[sel] - 1.0).max()
     # y+ ~ 30 single-point wall model vs correlation: generous band
     assert rel < 0.35, f"wall-function Cf off by {rel:.2f}"
+
+
+def test_qcr_changes_stresses_preserves_freestream():
+    """SA-QCR2000 (useQCR, fluxes.F90:2742): zero effect on a uniform
+    stream (no gradients), measurable effect on a sheared turbulent
+    solution's forces."""
+    import dataclasses
+    import jax.numpy as jnp
+    import numpy as np
+    from adflow_tpu.core.refstate import AeroProblem, make_reference_state
+    from adflow_tpu.meshgen.analytic import cube_mesh, wing_omesh
+    from adflow_tpu.physics.residual import (ProblemConfig, build_topology,
+                                             residual_list)
+    from adflow_tpu.geom.metrics import compute_metrics
+    from adflow_tpu.geom.walldist import compute_wall_distances
+
+    cfg = ProblemConfig(equation_type="rans", vis2=0.25, vis4=1 / 64,
+                        diss_exponent=0.67, turbulence_model="sa",
+                        turb_res_scale=1e4, use_qcr=True)
+    mesh = cube_mesh(n=6, perturb=0.2, seed=3)
+    ap = AeroProblem(name="fs", mach=0.5, alpha=2.0, reynolds=1e6)
+    ref = make_reference_state(ap, lift_index=2, n_turb=1)
+    winf = jnp.asarray(ref.winf())
+    topo = build_topology(mesh)
+    mets = [compute_metrics(jnp.asarray(b.x)) for b in mesh.blocks]
+    xs = [jnp.asarray(b.x) for b in mesh.blocks]
+    ds = compute_wall_distances(mesh, xs, xs[0].dtype)
+    extras = [{"walldist": d} for d in ds]
+    w = [jnp.broadcast_to(winf, tuple(d + 4 for d in b.dims) + (6,))
+         for b in mesh.blocks]
+    (r,) = residual_list(w, mets, topo, cfg, ref, winf, extras)
+    assert float(jnp.max(jnp.abs(r[..., :5]))) < 1e-12
+
+    # sheared state: QCR changes the residual, no-QCR path unchanged
+    mesh2 = wing_omesh(ni=24, nj=10, nk=6, viscous=True)
+    topo2 = build_topology(mesh2)
+    mets2 = [compute_metrics(jnp.asarray(b.x)) for b in mesh2.blocks]
+    xs2 = [jnp.asarray(b.x) for b in mesh2.blocks]
+    ds2 = compute_wall_distances(mesh2, xs2, xs2[0].dtype)
+    ex2 = [{"walldist": d} for d in ds2]
+    rng = np.random.default_rng(0)
+    w0 = np.broadcast_to(
+        np.asarray(winf),
+        tuple(d + 4 for d in mesh2.blocks[0].dims) + (6,)).copy()
+    w0[..., 1] *= 1.0 + 0.1 * rng.standard_normal(w0.shape[:-1])
+    wj = [jnp.asarray(w0)]
+    (r_q,) = residual_list(wj, mets2, topo2, cfg, ref, winf, ex2)
+    cfg0 = dataclasses.replace(cfg, use_qcr=False)
+    (r_0,) = residual_list(wj, mets2, topo2, cfg0, ref, winf, ex2)
+    dmax = float(jnp.max(jnp.abs(r_q - r_0)))
+    assert dmax > 1e-8, dmax
+    assert np.all(np.isfinite(np.asarray(r_q)))
