@@ -132,7 +132,12 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "ANKPhysicalLSTolTurb": 0.99,
     "ANKUnsteadyLSTol": 1.0,
     "ANKSecondOrdSwitchTol": 1e-16,
-    "ANKCoupledSwitchTol": 1e-16,
+    # deviation from the reference default (1e-16 = effectively never
+    # coupled): the exact-jvp ANK here is robust fully coupled, so the
+    # default couples immediately; reference scripts that set a real
+    # threshold (e.g. 1e-4) get the reference's segregated-then-coupled
+    # staging (newton.py make_ank_step segregated mode)
+    "ANKCoupledSwitchTol": 1e3,
     "ANKTurbCFLScale": 1.0,
     "ANKUseTurbDADI": True,
     "ANKUseMatrixFree": True,
@@ -241,9 +246,9 @@ _INERT_OPTIONS = {
     "coarseDiscretization", "MGStartLevel", "nCyclesCoarse",
     "L2ConvergenceCoarse", "maxL2DeviationFactor",  # FMG start
     "dissipationLumpingParameter", "riemannSolver",
-    "nSubiterTurb", "ANKStepMin",
-    "ANKConstCFLStep", "ANKSecondOrdSwitchTol", "ANKCoupledSwitchTol",
-    "ANKUseTurbDADI", "ANKUseMatrixFree", "ANKNSubiterTurb",
+    "ANKStepMin",
+    "ANKConstCFLStep", "ANKSecondOrdSwitchTol",
+    "ANKUseTurbDADI", "ANKUseMatrixFree",
     "NKFixedStep",
     "adjointMonitorStep", "ADPC",
     "applyAdjointPCSubspaceSize",

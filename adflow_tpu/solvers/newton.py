@@ -231,7 +231,14 @@ def _pc_choice(opts, prefix: str) -> dict:
         amg_nsmooth=int(opts[f"{prefix}AMGNSmooth"]))
 
 
-def make_ank_step(fns: NewtonFns, opts):
+def make_ank_step(fns: NewtonFns, opts, segregated: bool = False):
+    """One jitted ANK step. ``segregated=False``: fully-coupled
+    mean-flow+turbulence Newton system (the reference's post-
+    ANKCoupledSwitchTol mode). ``segregated=True``: the reference's
+    STARTUP mode (NKSolvers.F90:3337 ANKTurbSolveKSP / DADI subiters) —
+    the Krylov system covers the mean-flow rows only (turbulence frozen),
+    then ANKNSubiterTurb implicit line-solve subiterations advance the
+    turbulence at the new mean flow."""
     m = int(opts["ANKSubspaceSize"])
     if m <= 0:
         m = 50
@@ -242,6 +249,15 @@ def make_ank_step(fns: NewtonFns, opts):
     phys_tol = float(opts["ANKPhysicalLSTol"])
     phys_tol_turb = float(opts["ANKPhysicalLSTolTurb"])
     step_factor = float(opts["ANKStepFactor"])
+    n_sub_turb = max(int(opts["ANKNSubiterTurb"]),
+                     int(opts["nSubiterTurb"]), 1)
+    nw = fns.packer.nw
+    seg = segregated and nw > 5
+    if seg:
+        mean_mask = jnp.concatenate([
+            jnp.broadcast_to(jnp.arange(nw) < 5, tuple(d) + (nw,)
+                             ).reshape(-1)
+            for d in fns.packer.block_dims]).astype(jnp.float32)
 
     @jax.jit
     def ank_step(wvec, cfl, pc_data):
@@ -264,14 +280,30 @@ def make_ank_step(fns: NewtonFns, opts):
                              rs.shape + (fns.packer.nw,)) * chan
             for rs in rs_list])
 
-        def matvec(v):
-            _, jv = jax.jvp(fns.res_flat, (wvec,), (v,))
-            return diag * v + jv
+        if seg:
+            mk = mean_mask.astype(wvec.dtype)
 
-        def precond(v):
-            return pc_apply_vec(pc_data, fns.packer, v)
+            def matvec(v):
+                _, jv = jax.jvp(fns.res_flat, (wvec,), (mk * v,))
+                return diag * v + mk * jv
 
-        sol = gmres(matvec, -r, m=m, restarts=2, tol=lintol, precond=precond)
+            def precond(v):
+                return (mk * pc_apply_vec(pc_data, fns.packer, mk * v)
+                        + (1.0 - mk) * v)
+
+            rhs = -(mk * r)
+        else:
+            def matvec(v):
+                _, jv = jax.jvp(fns.res_flat, (wvec,), (v,))
+                return diag * v + jv
+
+            def precond(v):
+                return pc_apply_vec(pc_data, fns.packer, v)
+
+            rhs = -r
+
+        sol = gmres(matvec, rhs, m=m, restarts=2, tol=lintol,
+                    precond=precond)
         alpha0 = physicality_alpha(wvec, sol.x, fns.packer, phys_tol,
                                    phys_tol_turb) * step_factor
 
@@ -290,6 +322,23 @@ def make_ank_step(fns: NewtonFns, opts):
         alpha = alphas[best]
         mnew = merits[best]
         wnew = wvec + alpha * sol.x
+        if seg:
+            # turbulence subiterations at the new mean flow: implicit
+            # line-solve updates via the PC's turbulence tridiagonal
+            # (the DD-ADI analogue, turbAPI.F90:4 turbSolveDDADI /
+            # NKSolvers.F90 ANK_useTurbDADI + nSubiterTurb)
+            mk = mean_mask.astype(wvec.dtype)
+            for _ in range(n_sub_turb):
+                rt = (1.0 - mk) * fns.res_flat(wnew)
+                dwt = (1.0 - mk) * pc_apply_vec(pc_data, fns.packer, -rt)
+                # turbulence physicality: global under-relaxation so no
+                # cell's turbulence variable changes by more than the
+                # physical LS tolerance (physicalityCheckANK turb branch,
+                # NKSolvers.F90:3212)
+                rel = jnp.abs(dwt) / jnp.maximum(jnp.abs(wnew), 1e-12)
+                at = jnp.minimum(1.0, phys_tol_turb
+                                 / jnp.maximum(jnp.max(rel), 1e-30))
+                wnew = wnew + at * dwt
         rnew = jnp.linalg.norm(fns.res_flat(wnew))
         return (wnew, rnorm, rnew, alpha, sol.iters,
                 sol.res_norm / jnp.maximum(sol.b_norm, 1e-30),
@@ -512,7 +561,20 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
 
     # ---- ANK phase ----
     if use_ank and not failed and rnorm > target:
-        ank_step = make_ank_step(fns, opts)
+        # segregated-vs-coupled turbulence (reference ANKCoupledSwitchTol,
+        # NKSolvers.F90: ANK starts segregated and couples once the
+        # residual drops below the switch; this framework's exact-jvp ANK
+        # is robust fully coupled, so OUR default switch (1e3) couples
+        # immediately — reference scripts setting e.g. 1e-4 get the
+        # reference's staged behavior)
+        coupled_switch = float(opts["ANKCoupledSwitchTol"]) * r0
+        _steps = {}
+
+        def ank_step_for(rn):
+            seg = (rn > coupled_switch and fns.packer.nw > 5)
+            if seg not in _steps:
+                _steps[seg] = make_ank_step(fns, opts, segregated=seg)
+            return _steps[seg]
         cfl = float(opts["ANKCFL0"])
         cfl_min = float(opts["ANKCFLMin"])
         cfl_limit = float(opts["ANKCFLLimit"])
@@ -556,7 +618,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             if signal_check is not None and signal_check(
                     lambda: fns.packer.unpack_into(wvec, w_list)) == "stop":
                 break
-            wnew, rn, rnew, alpha, kiters, linres, umerit = ank_step(
+            wnew, rn, rnew, alpha, kiters, linres, umerit = ank_step_for(
+                rnorm)(
                 wvec, jnp.asarray(cfl, dtype),
                 lagged.get(it, wvec, rnorm, cfl))
             rnew_f = float(rnew)
