@@ -809,6 +809,114 @@ class ADFLOW:
         from adflow_tpu.io.cgns import write_cgns
         write_cgns(self.mesh, fileName)
 
+    def writeTecplotVolumeFile(self, fileName: str):
+        """Tecplot ASCII volume file: one ORDERED (I,J,K, point-packed)
+        zone per block with coordinates + the cell-centered solution menu
+        averaged to nodes (reference: the Tecplot volume writer,
+        output/tecplotIO.F90)."""
+        sols = self._solution_dicts()
+        with open(fileName, "w") as f:
+            f.write('TITLE = "adflow_tpu volume solution"\n')
+            names = ["CoordinateX", "CoordinateY", "CoordinateZ"]
+            names += list(sols[0].keys())
+            f.write("VARIABLES = " + " ".join(f'"{n}"' for n in names)
+                    + "\n")
+            for bi, b in enumerate(self.mesh.blocks):
+                ni, nj, nk = b.dims
+                f.write(f'ZONE T="{b.name}" I={ni + 1} J={nj + 1} '
+                        f'K={nk + 1} DATAPACKING=POINT\n')
+                cols = [b.x[..., 0], b.x[..., 1], b.x[..., 2]]
+                for v in sols[bi].values():
+                    c = np.asarray(v)
+                    # cell -> node average (pad edges by replication)
+                    node = np.zeros((ni + 1, nj + 1, nk + 1))
+                    wsum = np.zeros_like(node)
+                    for di in (0, 1):
+                        for dj in (0, 1):
+                            for dk in (0, 1):
+                                node[di:ni + di, dj:nj + dj,
+                                     dk:nk + dk] += c
+                                wsum[di:ni + di, dj:nj + dj,
+                                     dk:nk + dk] += 1.0
+                    cols.append(node / np.maximum(wsum, 1.0))
+                flat = np.stack([np.asarray(c).reshape(-1, order="F")
+                                 for c in cols], axis=1)
+                np.savetxt(f, flat, fmt="%15.8g")
+
+    def writeIsoSurfaceFile(self, fileName: str, isoSurfaces=None):
+        """Triangulated isosurfaces of solution variables (reference:
+        isoSurface option + outputMod.F90:68; marching tetrahedra on the
+        node-averaged fields, io/isosurface.py). isoSurfaces: {var: value}
+        (defaults to the ``isoSurface`` option)."""
+        from adflow_tpu.io.isosurface import (_node_field, marching_tets,
+                                              write_isosurface_tecplot)
+        spec = isoSurfaces if isoSurfaces is not None \
+            else self.options["isoSurface"]
+        if not spec:
+            raise ValueError("no isosurfaces requested (isoSurface option)")
+        sols = self._solution_dicts()
+        surfaces = []
+        for var, value in spec.items():
+            key = next((k for k in sols[0]
+                        if k.lower() == str(var).lower()), None)
+            if key is None:
+                raise ValueError(
+                    f"isoSurface variable '{var}' not in the volume "
+                    f"menu {list(sols[0])}")
+            tris = []
+            for bi, b in enumerate(self.mesh.blocks):
+                vn = _node_field(np.asarray(sols[bi][key]))
+                t = marching_tets(np.asarray(b.x), vn, float(value))
+                if len(t):
+                    tris.append(t)
+            tri = (np.concatenate(tris, axis=0) if tris
+                   else np.zeros((0, 3, 3)))
+            surfaces.append((f"{var}={value}", tri))
+        write_isosurface_tecplot(fileName, surfaces)
+
+    def writeSurfaceSensitivity(self, fileName: str, func: str,
+                                groupName: Optional[str] = None):
+        """Tecplot file of d(func)/d(surface node coordinates) over the
+        wall patches (reference: pyADflow.writeSurfaceSensitivity:2962 —
+        adjoint xS seeds written as FEQuadrilateral zones). Requires
+        evalFunctionsSens (or solveAdjoint) to be callable for ``func``;
+        the sensitivity written is the volume-node derivative evaluated AT
+        the surface nodes (the frozen-volume-warp surface sensitivity)."""
+        sens = {}
+        self.evalFunctionsSens(self.curAP, sens, evalFuncs=[func])
+        dxv = np.asarray(
+            sens[f"{self.curAP.name}_{func}"]["xv"]).reshape(-1, 3)
+        # unpack per block node arrays
+        ofs = 0
+        dx_blocks = []
+        for b in self.mesh.blocks:
+            n = int(np.prod([d + 1 for d in b.dims]))
+            dx_blocks.append(dxv[ofs:ofs + n].reshape(
+                tuple(d + 1 for d in b.dims) + (3,)))
+            ofs += n
+        with open(fileName, "w") as f:
+            f.write("Variables = CoordinateX CoordinateY CoordinateZ "
+                    "dX dY dZ\n")
+            for patch in self.wall_patches:
+                if groupName is not None and patch.family != groupName:
+                    continue
+                xs = np.asarray(
+                    self.mesh.blocks[patch.block].x[patch.fnode_sl])
+                ds = dx_blocks[patch.block][patch.fnode_sl]
+                n1, n2 = xs.shape[:2]
+                ne = (n1 - 1) * (n2 - 1)
+                f.write(f"ZONE Nodes={n1 * n2} Elements={ne} "
+                        "Zonetype=FEQuadrilateral Datapacking=Point\n")
+                pts = xs.reshape(-1, 3)
+                dss = ds.reshape(-1, 3)
+                for i in range(len(pts)):
+                    f.write("%15.8g %15.8g %15.8g %15.8g %15.8g %15.8g\n"
+                            % (*pts[i], *dss[i]))
+                for i in range(n1 - 1):
+                    for j in range(n2 - 1):
+                        a = i * n2 + j + 1
+                        f.write(f"{a} {a + 1} {a + n2 + 1} {a + n2}\n")
+
     def writeSurfaceSolutionFile(self, fileName: str):
         """Tecplot ASCII surface file: one zone per wall patch carrying the
         ``surfaceVariables`` menu (reference: surface variable menu,

@@ -33,6 +33,9 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "monitorVariables": ["cpu", "resrho", "resturb", "cl", "cd"],
     "surfaceVariables": ["cp", "vx", "vy", "vz", "mach"],
     "volumeVariables": ["resrho"],
+    # {variable: value} isosurfaces written by writeIsoSurfaceFile
+    # (reference: isoSurface option, outputMod.F90:68)
+    "isoSurface": {},
     "numberSolutions": True,
     "printIterations": True,
     "printTiming": True,

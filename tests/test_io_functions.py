@@ -136,3 +136,49 @@ def test_output_variable_menus(tmp_path):
     hdr = open(tmp_path / "mn_surf.dat").readlines()[1]
     for name in ("Cp", "Cf", "YPlus", "VelocityX"):
         assert name in hdr
+
+
+def test_tecplot_volume_and_surface_sensitivity(quick_solve, tmp_path):
+    """Tecplot volume writer (tecplotIO.F90 analogue) and
+    writeSurfaceSensitivity (pyADflow.py:2962)."""
+    s, ap = quick_solve
+    fn = str(tmp_path / "vol.dat")
+    s.writeTecplotVolumeFile(fn)
+    txt = open(fn).read()
+    assert "ZONE" in txt and "CoordinateX" in txt
+    data = np.loadtxt(fn, skiprows=3)
+    assert data.shape[1] >= 4
+    assert np.isfinite(data).all()
+
+    fn2 = str(tmp_path / "sens.dat")
+    s.writeSurfaceSensitivity(fn2, "cl")
+    txt2 = open(fn2).read().splitlines()
+    assert "dX dY dZ" in txt2[0]
+    assert any("FEQuadrilateral" in ln for ln in txt2)
+    vals = np.array([ln.split() for ln in txt2
+                     if len(ln.split()) == 6], dtype=float)
+    assert len(vals) > 0 and np.isfinite(vals).all()
+    # the sensitivity field must be nonzero somewhere on the wall
+    assert np.abs(vals[:, 3:]).max() > 1e-8
+
+
+def test_isosurface_extraction(quick_solve, tmp_path):
+    """Marching-tets isosurface (isoSurface option, outputMod.F90:68):
+    the Mach isosurface of the converged airfoil flow is non-empty and
+    every triangle vertex interpolates the isovalue."""
+    s, ap = quick_solve
+    fn = str(tmp_path / "iso.dat")
+    s.writeIsoSurfaceFile(fn, {"mach": 0.4})
+    txt = open(fn).read()
+    assert "FETRIANGLE" in txt
+    # sphere-test of the machinery itself: iso of an analytic field
+    from adflow_tpu.io.isosurface import marching_tets
+    n = 12
+    g = np.linspace(-1, 1, n + 1)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    x = np.stack([X, Y, Z], axis=-1)
+    r = np.sqrt(X**2 + Y**2 + Z**2)
+    tri = marching_tets(x, r, 0.7)
+    assert len(tri) > 100
+    radii = np.linalg.norm(tri.reshape(-1, 3), axis=1)
+    np.testing.assert_allclose(radii, 0.7, atol=0.02)
