@@ -19,7 +19,7 @@ import numpy as np
 
 from adflow_tpu.core.mesh import BCType, MultiBlockMesh, WALL_BCS
 from adflow_tpu.core.refstate import (
-    AeroProblem, ReferenceState, make_reference_state)
+    GAMMA, AeroProblem, ReferenceState, make_reference_state)
 from adflow_tpu.geom.metrics import compute_metrics
 from adflow_tpu.options import Options
 from adflow_tpu.physics.residual import (
@@ -744,12 +744,12 @@ class ADFLOW:
             rho = wi[..., 0]
             vel = wi[..., 1:4] / rho[..., None]
             ke = 0.5 * np.sum(wi[..., 1:4] ** 2, axis=-1) / rho
-            p = (1.4 - 1.0) * (wi[..., 4] - ke)
+            p = (GAMMA - 1.0) * (wi[..., 4] - ke)
             d = {"Density": rho, "VelocityX": vel[..., 0],
                  "VelocityY": vel[..., 1], "VelocityZ": vel[..., 2],
                  "Pressure": p,
                  "Mach": np.linalg.norm(vel, axis=-1) / np.sqrt(
-                     1.4 * p / rho),
+                     GAMMA * p / rho),
                  "CoefPressure": (p - self.ref.p_inf) / max(self.ref.q_inf,
                                                             1e-30)}
             if self.cfg.n_turb == 1:
@@ -758,12 +758,12 @@ class ADFLOW:
                 d["TurbulentEnergyKinetic"] = wi[..., 5]
                 d["TurbulentDissipationRate"] = wi[..., 6]
             if "temp" in menu:
-                d["Temperature"] = 1.4 * p / rho
+                d["Temperature"] = GAMMA * p / rho
             if ("eddy" in menu or "eddyratio" in menu) and self.cfg.rans                     and self.cfg.turbulence_model == "sa":
                 from adflow_tpu.physics.sa import eddy_viscosity
                 from adflow_tpu.physics.thermo import laminar_viscosity
                 import jax.numpy as _jnp
-                t = 1.4 * p / rho
+                t = GAMMA * p / rho
                 mu = np.asarray(laminar_viscosity(
                     _jnp.asarray(t), self.ref.mu_inf, self.ref.t_inf_dim))
                 mut = np.asarray(eddy_viscosity(
@@ -965,13 +965,13 @@ class ADFLOW:
                     cols += [vel[..., 0], vel[..., 1], vel[..., 2]]
                 if "mach" in menu:
                     cols.append(np.linalg.norm(vel, axis=-1)
-                                / np.sqrt(1.4 * p_face / wi[..., 0]))
+                                / np.sqrt(GAMMA * p_face / wi[..., 0]))
                 if "rho" in menu:
                     cols.append(0.5 * (wi[..., 0] + wg[..., 0]))
                 if "p" in menu:
                     cols.append(p_face)
                 if "temp" in menu:
-                    cols.append(1.4 * p_face / (0.5 * (wi[..., 0]
+                    cols.append(GAMMA * p_face / (0.5 * (wi[..., 0]
                                                        + wg[..., 0])))
                 if want_cf:
                     s_ = (m.si, m.sj, m.sk)[patch.axis]
@@ -993,7 +993,7 @@ class ADFLOW:
                              tau[..., 1] / qs, tau[..., 2] / qs]
                     # y+ = d1 * utau / nu with utau = sqrt(tau_w / rho)
                     from adflow_tpu.physics.thermo import laminar_viscosity
-                    t_i = 1.4 * np.asarray(
+                    t_i = GAMMA * np.asarray(
                         _pr(jnp.asarray(wi))) / wi[..., 0]
                     mu = np.asarray(laminar_viscosity(
                         jnp.asarray(t_i), self.ref.mu_inf,

@@ -144,7 +144,8 @@ def test_getforces_sums_to_integrated(solved_plate):
     f = integrate_forces(wf, solver.x_list, solver.metrics_list,
                          solver.wall_patches, solver.ref, solver.cfg,
                          extras_list=solver.extras_list)
-    total = np.asarray(f["force_p"] + f["force_v"])
+    # getForces returns dimensional Newtons (p_ref_dim scale)
+    total = np.asarray(f["force_p"] + f["force_v"]) * solver.ref.p_ref_dim
     got = nodal.sum(axis=0)
     assert np.allclose(got, total, rtol=1e-10, atol=1e-14), (got, total)
     # viscous drag must be positive and dominate on a flat plate
