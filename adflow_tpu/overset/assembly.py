@@ -351,7 +351,43 @@ def build_overset(mesh: MultiBlockMesh,
         best_uvw[idx] = np.clip(loc_u[fallback], 0.0, 1.0)
 
     n_orphans = int((~contained).sum())
-    keep = best_src >= 0
+
+    # --- orphan treatment (reference: orphanAverage,
+    # utils/haloExchange.F90:201): a fringe with no containing donor gets
+    # the AVERAGE of its valid compute face-neighbors instead of a badly
+    # extrapolated clamped-brick interpolation; the clamped fallback
+    # remains only for orphans with no valid neighbor at all.
+    orphan_groups: List[tuple] = []   # (bi, dst_flat, src_flats, weights)
+    orphan_sel = np.flatnonzero(~contained & (best_src >= 0))
+    drop = np.zeros(len(recv_blk), bool)
+    offsets = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                        [0, -1, 0], [0, 0, 1], [0, 0, -1]])
+    for r in orphan_sel:
+        bi = int(recv_blk[r])
+        p3 = recv_pad3[r]
+        ib = iblank[bi]
+        ni, nj, nk = dims[bi]
+        srcs = []
+        for off in offsets:
+            q = p3 + off
+            qi = q - H
+            if np.all(qi >= 0) and np.all(qi < [ni, nj, nk]) \
+                    and ib[qi[0], qi[1], qi[2]] == IBLANK_COMPUTE:
+                ps = padded_shapes[bi]
+                srcs.append((q[0] * ps[1] + q[1]) * ps[2] + q[2])
+        if srcs:
+            ps = padded_shapes[bi]
+            dflat = (p3[0] * ps[1] + p3[1]) * ps[2] + p3[2]
+            # pad to 8 sources (group layout); zero weight on the padding
+            n_valid = len(srcs)
+            wgt = np.zeros(8)
+            wgt[:n_valid] = 1.0 / n_valid
+            while len(srcs) < 8:
+                srcs.append(srcs[0])
+            orphan_groups.append((bi, dflat, srcs, wgt))
+            drop[r] = True
+
+    keep = (best_src >= 0) & ~drop
     recv_blk, recv_pad3 = recv_blk[keep], recv_pad3[keep]
     best_src, best_anchor = best_src[keep], best_anchor[keep]
     best_uvw = best_uvw[keep]
@@ -393,6 +429,20 @@ def build_overset(mesh: MultiBlockMesh,
                     dst_flat=dflat.astype(np.int32),
                     src_flat=np.stack(sflat).astype(np.int32),
                     weights=w, priority=prio))
+    # orphan neighbor-average groups: applied LAST (priority 2) so they
+    # read freshly interpolated fringe/compute values
+    from collections import defaultdict
+    by_block = defaultdict(list)
+    for bi, dflat, srcs, wgt in orphan_groups:
+        by_block[bi].append((dflat, srcs, wgt))
+    for bi, items in by_block.items():
+        dflats = np.array([d for d, _, _ in items], np.int32)
+        sflats = np.stack([np.asarray(s, np.int32)
+                           for _, s, _ in items], axis=1)   # (8, n)
+        wgts = np.stack([w for _, _, w in items], axis=0)    # (n, 8)
+        groups.append(OversetGroup(
+            dst_block=bi, src_block=bi, dst_flat=dflats,
+            src_flat=sflats, weights=wgts, priority=2))
     groups.sort(key=lambda g: g.priority)
     return OversetTable(groups=tuple(groups), iblank=tuple(iblank),
                         n_orphans=n_orphans)
