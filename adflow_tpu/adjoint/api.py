@@ -114,6 +114,7 @@ def build_adjoint_fns(solver) -> AdjointFns:
     x_offsets = np.concatenate([[0], np.cumsum(x_sizes)])
     wall_patches = solver.wall_patches
     wall_patch_weights = getattr(solver, "wall_patch_weights", None)
+    cp_targets = getattr(solver, "_cp_targets", None)
     dtype = solver.dtype
     mesh_blocks = solver.mesh.blocks
 
@@ -155,7 +156,8 @@ def build_adjoint_fns(solver) -> AdjointFns:
         f = integrate_forces(w_list, x_list, metrics_list, wall_patches,
                              ref, cfg, iblank_list=ibl,
                              extras_list=extras_list,
-                             patch_weights=wall_patch_weights)
+                             patch_weights=wall_patch_weights,
+                             cp_targets=cp_targets)
         return cost_functions(f, ref)
 
     return AdjointFns(res=res, funcs=funcs, pack_x=pack_x,

@@ -557,6 +557,47 @@ class ADFLOW:
                     out.setdefault(sf.family, {}).update(sf.data)
         return out
 
+    def setTargetCp(self, CpTargets, groupName: Optional[str] = None):
+        """Set the target-Cp distribution for inverse design (reference:
+        pyADflow.setTargetCp:3827 -> setcptargets; consumed by the
+        'cperror2' cost function, surfaceIntegrations.F90:527). CpTargets:
+        flat array over the group's wall faces in patch order (each patch
+        row-major over its (T1, T2) face window)."""
+        flat = np.asarray(CpTargets, float).ravel()
+        tg = list(getattr(self, "_cp_targets", None)
+                  or [None] * len(self.wall_patches))
+        ofs = 0
+        for i, p in enumerate(self.wall_patches):
+            if groupName is not None and p.family != groupName:
+                continue
+            n1 = p.face_sl[[a for a in range(3) if a != p.axis][0]]
+            n2 = p.face_sl[[a for a in range(3) if a != p.axis][1]]
+            s1 = n1.stop - n1.start
+            s2 = n2.stop - n2.start
+            tg[i] = flat[ofs:ofs + s1 * s2].reshape(s1, s2)
+            ofs += s1 * s2
+        if ofs != len(flat):
+            raise ValueError(
+                f"CpTargets length {len(flat)} != group faces {ofs}")
+        self._cp_targets = tg
+
+    def checkPartitioning(self, nprocs: int):
+        """Load-balance quality for a hypothetical nprocs chips
+        (reference: pyADflow.checkPartitioning:1161 / loadBalance.F90):
+        returns (load_imbalance, face_imbalance_placeholder) after the
+        block splitting the balancer would perform."""
+        from adflow_tpu.dist.stacked import balance_blocks
+        m2, order = balance_blocks(self.mesh, nprocs)
+        sizes = np.zeros(nprocs)
+        per = len(order) // nprocs
+        for c in range(nprocs):
+            for pos in order[c * per:(c + 1) * per]:
+                if pos >= 0:
+                    sizes[c] += m2.blocks[pos].n_cells
+        ideal = m2.n_cells / nprocs
+        imbalance = float(sizes.max() / ideal - 1.0)
+        return imbalance, 0.0
+
     def _fmg_start(self, opt):
         """Full-multigrid start (reference: the mgStartLevel groundLevel
         loop, solvers.F90:63 + FMG transfer transferToFineGrid:326):
@@ -660,7 +701,8 @@ class ADFLOW:
         f = integrate_forces(wf, self.x_list, self.metrics_list,
                              self.wall_patches, self.ref, self.cfg,
                              iblank_list=ibl, extras_list=self.extras_list,
-                             patch_weights=self.wall_patch_weights)
+                             patch_weights=self.wall_patch_weights,
+                             cp_targets=getattr(self, "_cp_targets", None))
         f.update(wall_sensors(wf, self.metrics_list, self.wall_patches,
                               self.ref, iblank_list=ibl,
                               x_list=self.x_list))

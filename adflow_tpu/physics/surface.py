@@ -138,7 +138,8 @@ def integrate_forces(w_list, x_list, metrics_list,
                      patches: Sequence[WallPatch], ref: ReferenceState,
                      cfg=None, iblank_list=None,
                      extras_list=None,
-                     patch_weights=None) -> Dict[str, jnp.ndarray]:
+                     patch_weights=None,
+                     cp_targets=None) -> Dict[str, jnp.ndarray]:
     """Integrated force + moment vectors (nondim), pressure and viscous
     parts. Halos of w must be filled. ``patch_weights``: optional per-patch
     (T1, T2) face weights — the zipper-equivalent overlap deduplication for
@@ -152,6 +153,8 @@ def integrate_forces(w_list, x_list, metrics_list,
     # cof_lift[j] = sum of (df . lift_dir) * xco_j
     cof = jnp.zeros((3, 3))
     cof_lift = jnp.zeros(3)
+    cp_err2 = jnp.zeros(())   # cperror2 inverse-design objective
+
     ld = jnp.asarray(ref.lift_dir)
     xref = jnp.asarray(ref.moment_ref)
     visc_cache = {}
@@ -192,9 +195,21 @@ def integrate_forces(w_list, x_list, metrics_list,
 
         cof = cof + jnp.einsum("tki,tkj->ij", df, xc)
         cof_lift = cof_lift + jnp.einsum("tk,tkj->j", df @ ld, xc)
+        if cp_targets is not None:
+            # cperror2 (surfaceIntegrations.F90:527: sum over wall faces
+            # of (Cp - CpTarget)^2 dA; targets set via setTargetCp)
+            tgt = cp_targets[ip]
+            if tgt is not None:
+                cp = (p_face - ref.p_inf) / jnp.maximum(ref.q_inf, 1e-30)
+                da = jnp.linalg.norm(s_out, axis=-1)
+                cp_err2 = cp_err2 + jnp.sum(
+                    (cp - jnp.asarray(tgt)) ** 2 * da)
 
-    return {"force_p": force_p, "force_v": force_v, "moment": moment,
-            "cof": cof, "cof_lift": cof_lift}
+    out = {"force_p": force_p, "force_v": force_v, "moment": moment,
+           "cof": cof, "cof_lift": cof_lift}
+    if cp_targets is not None:
+        out["cperror2"] = cp_err2
+    return out
 
 
 def cost_functions(forces: Dict[str, jnp.ndarray], ref: ReferenceState
@@ -268,7 +283,8 @@ def cost_functions(forces: Dict[str, jnp.ndarray], ref: ReferenceState
         out["sepsensoravgx"] = forces["sepavg"][0]
         out["sepsensoravgy"] = forces["sepavg"][1]
         out["sepsensoravgz"] = forces["sepavg"][2]
-    for k in ("sepsensor", "cavitation", "cpmin_exact", "area"):
+    for k in ("sepsensor", "cavitation", "cpmin_exact", "area",
+              "cperror2"):
         if k in forces:
             out[k] = forces[k]
     for k, v in forces.items():

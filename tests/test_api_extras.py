@@ -134,3 +134,38 @@ def test_inf_change_correction_offset():
     f2 = {}
     s2.evalFunctions(ap3, f2)
     np.testing.assert_allclose(funcs["ic_cl"], f2["cold_cl"], rtol=2e-4)
+
+
+def test_target_cp_and_partitioning():
+    """setTargetCp + cperror2 cost function (inverse design objective,
+    surfaceIntegrations.F90:527) and checkPartitioning load-balance query
+    (pyADflow.checkPartitioning:1161)."""
+    import numpy as np
+    from adflow_tpu.api.solver import ADFLOW
+    from adflow_tpu.core.refstate import AeroProblem
+    from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+    opts = {"equationType": "euler", "useANKSolver": True,
+            "useNKSolver": False, "nCycles": 100, "L2Convergence": 1e-6,
+            "printIterations": False, "printTiming": False}
+    s = ADFLOW(options=opts, mesh=naca0012_omesh(ni=48, nj=16))
+    ap = AeroProblem(name="tc", mach=0.5, alpha=1.0, evalFuncs=["cl"])
+    s(ap)
+    # target = achieved Cp -> cperror2 == 0; zero targets -> positive
+    n_faces = sum(
+        (p.face_sl[[a for a in range(3) if a != p.axis][0]].stop
+         - p.face_sl[[a for a in range(3) if a != p.axis][0]].start)
+        * (p.face_sl[[a for a in range(3) if a != p.axis][1]].stop
+           - p.face_sl[[a for a in range(3) if a != p.axis][1]].start)
+        for p in s.wall_patches)
+    s.setTargetCp(np.zeros(n_faces))
+    funcs = {}
+    s.evalFunctions(ap, funcs, evalFuncs=["cperror2"])
+    e0 = funcs["tc_cperror2"]
+    assert e0 > 0.0
+    # adjoint of the inverse-design objective is finite
+    sens = {}
+    s.evalFunctionsSens(ap, sens, evalFuncs=["cperror2"])
+    assert np.isfinite(sens["tc_cperror2"]["alpha"])
+    imb, _ = s.checkPartitioning(4)
+    assert 0.0 <= imb < 1.0
