@@ -10,6 +10,7 @@ JAX over the mesh pytree instead of f2py calls into libadflow.
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -396,8 +397,12 @@ class ADFLOW:
         use_nk = bool(opt["useNKSolver"])
         use_ank = bool(opt["useANKSolver"])
         self._sigmon = sigmon
+        prof_dir = opt["jaxProfileDir"]
+        prof_cm = (jax.profiler.trace(str(prof_dir)) if prof_dir
+                   else contextlib.nullcontext())
         try:
             sigmon.__enter__()
+            prof_cm.__enter__()
             self._fmg_start(opt)
             if use_nk or use_ank:
                 from adflow_tpu.solvers.newton import solve_newton_driver
@@ -433,6 +438,7 @@ class ADFLOW:
                     smoother=str(opt["smoother"]), deadline=deadline,
                     signal_check=sigmon.check)
         finally:
+            prof_cm.__exit__(None, None, None)
             sigmon.__exit__()
         self._fresh_state = False
         self.solve_info = info

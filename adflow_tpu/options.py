@@ -215,6 +215,10 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "loadBalanceIter": 10,
     "setMonitor": True,
     "timeLimit": -1.0,
+    # JAX profiler hook (SURVEY 5.1; TPU-native addition): when set, the
+    # steady solve runs under jax.profiler.trace writing an xplane trace
+    # viewable in TensorBoard/xprof
+    "jaxProfileDir": None,
     "storeConvHist": True,
 
     # ----- TPU-native additions (no reference analogue) -----
