@@ -38,7 +38,7 @@ from adflow_tpu.geom.metrics import compute_metrics
 from adflow_tpu.physics.residual import fill_halos, residual_list
 from adflow_tpu.physics.surface import (
     build_wall_patches, cost_functions, integrate_forces)
-from adflow_tpu.solvers.krylov import gmres
+from adflow_tpu.solvers.krylov import GmresResult, gmres
 
 
 def traced_reference_state(base: ReferenceState, params) -> ReferenceState:
@@ -207,9 +207,32 @@ def solve_adjoint_system(fns: AdjointFns, solver, wvec, xvec, params,
         rhs = mask * rhs
         if psi0 is not None:
             psi0 = mask * psi0
-    sol = gmres(matvec, rhs, x0=psi0, m=subspace, restarts=restarts,
-                tol=tol, atol=abs_tol or 0.0, precond=precond)
-    return sol
+    # restart-resolution convergence monitor (reference: adjointMonitorStep
+    # + KSPMonitor in setupPETScKsp, adjointAPI.F90:865 — print the linear
+    # residual every N Krylov iterations)
+    monitor_step = int(solver.options["adjointMonitorStep"])
+    printing = bool(solver.options["printIterations"]) and monitor_step > 0
+    if not printing:
+        return gmres(matvec, rhs, x0=psi0, m=subspace, restarts=restarts,
+                     tol=tol, atol=abs_tol or 0.0, precond=precond)
+    x = psi0
+    sol = None
+    iters = 0
+    next_print = 0
+    for _ in range(restarts):
+        sol = gmres(matvec, rhs, x0=x, m=subspace, restarts=1,
+                    tol=tol, atol=abs_tol or 0.0, precond=precond)
+        x = sol.x
+        iters += int(sol.iters)
+        if iters >= next_print or bool(sol.converged):
+            print(f"  adjoint GMRES iter {iters:5d}  "
+                  f"res {float(sol.res_norm):.6e}  "
+                  f"rel {float(sol.res_norm / jnp.maximum(sol.b_norm, 1e-300)):.3e}")
+            next_print = iters + monitor_step
+        if bool(sol.converged):
+            break
+    return GmresResult(x=sol.x, res_norm=sol.res_norm, b_norm=sol.b_norm,
+                       iters=jnp.asarray(iters), converged=sol.converged)
 
 
 def _transposed_amg_pc(nfns, solver, wvec):

@@ -166,7 +166,9 @@ class ADFLOW:
             discretization=self.options["discretization"].lower(),
             limiter=self.options["limiter"].lower(),
             entropy_fix=float(self.options["entropyFix"]),
+            riemann_solver=str(self.options["riemannSolver"]).lower(),
             turbulence_model=turb_model,
+            turb_order=str(self.options["turbulenceOrder"]).lower(),
             turb_res_scale=trs,
             use_ft2=bool(self.options["useft2SA"]),
             use_rotation_sa=bool(self.options["useRotationSA"]),
@@ -185,11 +187,16 @@ class ADFLOW:
             self.wall_patch_weights = overlap_surface_weights(
                 mesh, self.wall_patches)
 
-        # wall distance for RANS (reference: wallDistance.F90:129)
+        # wall distance for RANS (reference: wallDistance.F90:129); the
+        # point->element association feeds the useApproxWallDistance fast
+        # update on mesh deformation (updateWallDistancesQuickly)
         self.extras_list = None
+        self._walldist_assoc = None
         if self.cfg.rans:
             from adflow_tpu.geom.walldist import compute_wall_distances
-            d_list = compute_wall_distances(mesh, self.x_list, self.dtype)
+            d_list, self._walldist_assoc = compute_wall_distances(
+                mesh, self.x_list, self.dtype, return_assoc=True,
+                cutoff=float(self.options["wallDistCutoff"]))
             self.extras_list = [{"walldist": d} for d in d_list]
 
         self.curAP: Optional[AeroProblem] = None
@@ -198,6 +205,7 @@ class ADFLOW:
         self.w_list: Optional[List[jnp.ndarray]] = None
         self._ap_states: Dict[str, list] = {}
         self._ap_winfs: Dict[str, object] = {}
+        self._sol_counter: Dict[str, int] = {}
         self.solve_info = None
 
     # ------------------------------------------------------------------
@@ -223,7 +231,8 @@ class ADFLOW:
         self.curAP = ap
         self.ref = make_reference_state(
             ap, lift_index=int(self.options["liftIndex"]),
-            n_turb=self.cfg.n_turb)
+            n_turb=self.cfg.n_turb,
+            eddy_vis_inf_ratio=float(self.options["eddyVisInfRatio"]))
         if bool(self.options["useWallFunctions"]) and self.cfg.viscous:
             # wall-function wall treatment (computeUtau analogue; bc.py)
             import dataclasses as _dc
@@ -426,7 +435,9 @@ class ADFLOW:
                     cfl_coarse=float(opt["CFLCoarse"]),
                     res_averaging=str(opt["resAveraging"]),
                     smooth_param=float(opt["smoothParameter"]),
-                    deadline=deadline)
+                    deadline=deadline,
+                    vis2_coarse=float(opt["vis2Coarse"]),
+                    coarse_disc=str(opt["coarseDiscretization"]))
             else:
                 self.w_list, info = steady.solve_rk(
                     self.w_list, self.metrics_list, self.topo, self.cfg,
@@ -1065,12 +1076,18 @@ class ADFLOW:
     def writeSolution(self, outputDir: Optional[str] = None,
                       baseName: Optional[str] = None, number=None):
         """Write volume + surface + lift-distribution files
-        (reference: pyADflow.writeSolution:2664)."""
+        (reference: pyADflow.writeSolution:2664; numberSolutions appends
+        the per-AeroProblem call counter to the file names, padded to
+        writeSolutionDigits digits)."""
         import os
         outputDir = outputDir or self.options["outputDirectory"]
         baseName = baseName or (self.curAP.name if self.curAP else "sol")
+        digits = max(int(self.options["writeSolutionDigits"]), 1)
+        if number is None and bool(self.options["numberSolutions"]):
+            number = self._sol_counter.get(baseName, 0)
+            self._sol_counter[baseName] = number + 1
         if number is not None:
-            baseName = f"{baseName}_{int(number):03d}"
+            baseName = f"{baseName}_{int(number):0{digits}d}"
         base = os.path.join(outputDir, baseName)
         self.writeVolumeSolutionFile(base + "_vol.cgns")
         self.writeSurfaceSolutionFile(base + "_surf.dat")
@@ -1400,7 +1417,11 @@ class ADFLOW:
             lambda w: fns.funcs(w, xvec, params)[key])(wvec)
         if not hasattr(self, "_psi_cache"):
             self._psi_cache = {}
-        psi0 = self._psi_cache.get((ap.name, key))
+        # warm-start from the cached psi only when restartAdjoint is on
+        # (reference: inputADjoint restartAdjoint / solveAdjoint warm
+        # start, adjointAPI.F90:742-752)
+        psi0 = (self._psi_cache.get((ap.name, key))
+                if bool(self.options["restartAdjoint"]) else None)
         sol = solve_adjoint_system(
             fns, self, wvec, xvec, params, dIdw, psi0=psi0,
             tol=float(self.options["adjointL2Convergence"]),
@@ -1521,18 +1542,55 @@ class ADFLOW:
         self._rebuild_geometry()
         self._geom_dirty = False
 
+    def _warped_mesh(self):
+        """The mesh object at the CURRENT node coordinates (shares BC/conn
+        metadata, replaces only x) — host-side geometry rebuilds (overset
+        donor search, wall quads, overlap weights) must see the warped
+        coordinates, not construction-time ones."""
+        import dataclasses as _dc
+        from adflow_tpu.core.mesh import MultiBlockMesh
+        return MultiBlockMesh(
+            blocks=[_dc.replace(b, x=np.asarray(x, float))
+                    for b, x in zip(self.mesh.blocks, self.x_list)],
+            name=self.mesh.name)
+
     def _rebuild_geometry(self):
-        """Recompute metrics/wall distances and drop stale jitted closures
-        after any node-coordinate change."""
+        """Recompute metrics/wall distances/overset connectivity and drop
+        stale jitted closures after any node-coordinate change."""
         from adflow_tpu.geom.metrics import compute_metrics_conn
         self.metrics_list = compute_metrics_conn(self.mesh.blocks,
                                                  self.x_list)
         self._metrics_base = list(self.metrics_list)
+        warped = None
+        if self.topo.overset is not None or self._cut_cb is not None:
+            # overset re-connectivity for the deformed mesh (reference:
+            # updateOversetConnectivity, oversetCommUtilites.F90:1729,
+            # called per step from blockette.F90:193): donors, weights and
+            # iblank are functions of the coordinates — without this the
+            # fringe interpolation silently reads pre-warp donor cells
+            warped = self._warped_mesh()
+            self.topo = build_topology(warped, cut_callback=self._cut_cb)
+            if self.wall_patch_weights is not None:
+                from adflow_tpu.overset.assembly import (
+                    overlap_surface_weights)
+                self.wall_patch_weights = overlap_surface_weights(
+                    warped, self.wall_patches)
         if self.cfg.rans:
-            from adflow_tpu.geom.walldist import compute_wall_distances
-            import dataclasses as _dc
-            d_list = compute_wall_distances(self.mesh, self.x_list,
-                                            self.dtype)
+            from adflow_tpu.geom.walldist import (
+                compute_wall_distances, update_wall_distances)
+            mesh_now = warped if warped is not None else self.mesh
+            cutoff = float(self.options["wallDistCutoff"])
+            if (bool(self.options["useApproxWallDistance"])
+                    and self._walldist_assoc is not None):
+                # fast path: re-project onto the stored nearest elements
+                # (updateWallDistancesQuickly, wallDistance.F90:36)
+                d_list = update_wall_distances(
+                    mesh_now, self.x_list, self._walldist_assoc,
+                    self.dtype, cutoff=cutoff)
+            else:
+                d_list, self._walldist_assoc = compute_wall_distances(
+                    mesh_now, self.x_list, self.dtype, return_assoc=True,
+                    cutoff=cutoff)
             for ex, d in zip(self.extras_list, d_list):
                 ex["walldist"] = d
         self._nfns = None

@@ -220,7 +220,9 @@ class ReferenceState:
 
 
 def make_reference_state(ap: AeroProblem, lift_index: int = 2,
-                         n_turb: int = 0) -> ReferenceState:
+                         n_turb: int = 0,
+                         eddy_vis_inf_ratio: float = 0.009
+                         ) -> ReferenceState:
     vel_dir, drag_dir, lift_dir = flow_directions(ap.alpha, ap.beta, lift_index)
     u_inf = ap.mach * vel_dir
     # muInf' = Mach * L_re / Re (see module docstring); inviscid flows get 0.
@@ -228,10 +230,9 @@ def make_reference_state(ap: AeroProblem, lift_index: int = 2,
               if ap.reynolds and ap.reynolds > 0 else 0.0)
     nu_tilde_inf = SA_NU_TILDE_RATIO * mu_inf  # rhoInf' = 1 -> nu' = mu'
     # SST free stream (reference: initializeFlow referenceState SST branch;
-    # defaults turbIntensityInf ~ 0.1%, eddyVisInfRatio = 0.009):
+    # defaults turbIntensityInf ~ 0.1%, eddyVisInfRatio option = 0.009):
     #   kInf = 1.5 (I |u|)^2,  omegaInf = rho kInf / (mu * evr)
     turb_intensity = 1e-3
-    eddy_vis_inf_ratio = 0.009
     k_inf = 1.5 * (turb_intensity * ap.mach) ** 2
     omega_inf = (k_inf / (mu_inf * eddy_vis_inf_ratio)
                  if mu_inf > 0 else 1.0)

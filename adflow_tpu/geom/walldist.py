@@ -159,29 +159,105 @@ def _nearest_quad_dist(xc: jnp.ndarray, quads: jnp.ndarray,
     return jnp.min(d, axis=-1)
 
 
+@jax.jit
+def _nearest_quad_dist_assoc(xc: jnp.ndarray, quads: jnp.ndarray,
+                             centers: jnp.ndarray, k: int = 8):
+    """Like _nearest_quad_dist but also returns the winning quad index per
+    point — the (point -> wall element) association the approximate update
+    path re-evaluates on mesh deformation (reference:
+    updateWallDistancesQuickly, wallDistance.F90:36, stores (elemID,u,v))."""
+    k = min(k, centers.shape[0])
+    a2 = jnp.sum(xc * xc, axis=-1, keepdims=True)
+    b2 = jnp.sum(centers * centers, axis=-1)[None, :]
+    d2 = a2 - 2.0 * (xc @ centers.T) + b2
+    _, idx = jax.lax.top_k(-d2, k)
+    cand = quads[idx]
+    d = _project_points_quads(xc[:, None, :], cand)
+    j = jnp.argmin(d, axis=-1)
+    rows = jnp.arange(idx.shape[0])
+    return d[rows, j], idx[rows, j]
+
+
+@jax.jit
+def _assoc_quad_dist(xc: jnp.ndarray, quads_sel: jnp.ndarray) -> jnp.ndarray:
+    """Exact projection onto each point's pre-associated quad only — O(n)
+    instead of the O(n*M) candidate search."""
+    return _project_points_quads(xc, quads_sel)
+
+
+FAR_DIST = 1e10   # "large constant" for beyond-cutoff cells
+                  # (reference wallDistCutoff, doc/options.yaml:333)
+
+
+def _apply_cutoff(d, cutoff):
+    if cutoff is None or cutoff >= FAR_DIST:
+        return d
+    return jnp.where(d > cutoff, FAR_DIST, d)
+
+
 def compute_wall_distances(mesh: MultiBlockMesh, x_list,
                            dtype=jnp.float32,
-                           chunk: int = 1 << 15) -> List[jnp.ndarray]:
+                           chunk: int = 1 << 15,
+                           return_assoc: bool = False,
+                           cutoff: float = None):
     """Per-block wall distance on the one-ring extended cell grid
     (ni+2, nj+2, nk+2) — the SA source term needs distances at halo cells
-    adjacent to boundaries; edge padding supplies them."""
+    adjacent to boundaries; edge padding supplies them.
+
+    ``return_assoc=True`` additionally returns the per-block flat winning
+    quad index (the point->element association consumed by
+    ``update_wall_distances``, the useApproxWallDistance fast path)."""
     quads = gather_wall_quads(mesh, x_list)
     quads = jnp.asarray(quads, dtype)
     centers = jnp.mean(quads, axis=1) if quads.shape[0] else quads[:, 0]
     out = []
+    assoc = []
     for x in x_list:
         xc = cell_centers(jnp.asarray(x, dtype))
         shp = xc.shape[:3]
         flat = xc.reshape(-1, 3)
         if quads.shape[0] == 0:
             d = jnp.full(flat.shape[0], 1e10, dtype)
+            assoc.append(None)
         else:
             parts = []
+            idxs = []
             for s in range(0, flat.shape[0], chunk):
-                parts.append(_nearest_quad_dist(
-                    flat[s:s + chunk], quads, centers))
+                dd, ii = _nearest_quad_dist_assoc(
+                    flat[s:s + chunk], quads, centers)
+                parts.append(dd)
+                idxs.append(ii)
             d = jnp.concatenate(parts)
+            assoc.append(np.asarray(jnp.concatenate(idxs)))
         d = d.reshape(shp)
         d = jnp.pad(d, 1, mode="edge")
-        out.append(jnp.maximum(d, 1e-14))
+        out.append(_apply_cutoff(jnp.maximum(d, 1e-14), cutoff))
+    if return_assoc:
+        return out, assoc
+    return out
+
+
+def update_wall_distances(mesh: MultiBlockMesh, x_list, assoc,
+                          dtype=jnp.float32,
+                          cutoff: float = None) -> List[jnp.ndarray]:
+    """Approximate fast wall-distance update after mesh deformation
+    (reference: updateWallDistancesQuickly, wallDistance.F90:36, option
+    useApproxWallDistance doc/options.yaml:251): re-project each cell
+    center onto its STORED nearest wall quad (from the last full search)
+    at the quad's new coordinates — exact if the nearest element didn't
+    change, O(n) instead of O(n*M)."""
+    quads = gather_wall_quads(mesh, x_list)
+    quads = jnp.asarray(quads, dtype)
+    out = []
+    for x, a in zip(x_list, assoc):
+        xc = cell_centers(jnp.asarray(x, dtype))
+        shp = xc.shape[:3]
+        flat = xc.reshape(-1, 3)
+        if a is None or quads.shape[0] == 0:
+            d = jnp.full(flat.shape[0], 1e10, dtype)
+        else:
+            d = _assoc_quad_dist(flat, quads[jnp.asarray(a)])
+        d = d.reshape(shp)
+        d = jnp.pad(d, 1, mode="edge")
+        out.append(_apply_cutoff(jnp.maximum(d, 1e-14), cutoff))
     return out

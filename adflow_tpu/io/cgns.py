@@ -1,4 +1,4 @@
-"""CGNS (HDF5 flavor) reader/writer for structured multiblock meshes.
+"""CGNS reader/writer (HDF5 and legacy ADF flavors) for structured meshes.
 
 Reference analogue: the parallel CGNS reader
 (`/root/reference/src/partitioning/readCGNSGrid.F90`, 3,265 LoC) and the CGNS
@@ -147,15 +147,30 @@ _DTYPE_TAG = {np.dtype(np.int32): "I4", np.dtype(np.int64): "I8",
 # Reader
 # ---------------------------------------------------------------------------
 
-def read_cgns(path: str) -> MultiBlockMesh:
-    """Read a structured multiblock CGNS-HDF5 mesh into MultiBlockMesh."""
-    import h5py
+import contextlib
 
-    with h5py.File(path, "r") as f:
+
+@contextlib.contextmanager
+def _open_cgns(path: str):
+    """Yield the root node of a CGNS file in EITHER flavor: HDF5 via h5py
+    or legacy ADF via the pure-Python core reader (io/adf.py) — the
+    reference reads both through cgnslib (readCGNSGrid.F90)."""
+    from adflow_tpu.io.adf import is_adf, read_adf_tree
+    if is_adf(path):
+        yield read_adf_tree(path)
+    else:
+        import h5py
+        with h5py.File(path, "r") as f:
+            yield f
+
+
+def read_cgns(path: str) -> MultiBlockMesh:
+    """Read a structured multiblock CGNS mesh (HDF5 or ADF flavor) into
+    MultiBlockMesh."""
+    with _open_cgns(path) as f:
         bases = _children_by_label(f, "CGNSBase_t")
         if not bases:
-            raise ValueError(f"{path}: no CGNSBase_t found (ADF-flavor CGNS "
-                             "files need conversion to HDF5 flavor)")
+            raise ValueError(f"{path}: no CGNSBase_t found")
         base = bases[0]
         zones = _children_by_label(base, "Zone_t")
         zones.sort(key=_node_name)
@@ -197,6 +212,20 @@ def read_cgns(path: str) -> MultiBlockMesh:
     return MultiBlockMesh(blocks, name=os.path.basename(path))
 
 
+def _as_index_range(d) -> np.ndarray:
+    """Normalize a stored IndexRange to (2, 3) [begin; end].
+
+    CGNS stores PointRange as Fortran (IndexDimension, 2) = column begin,
+    column end; the h5py/ADF C-transposed view is therefore (2, 3) with
+    row 0 = begin. Files from other writers may present (3, 2); transpose
+    those. (This replaces an earlier double-transpose that scrambled
+    asymmetric ranges — caught by the split-mesh ADF roundtrip test.)"""
+    d = np.asarray(d)
+    if d.shape == (3, 2):
+        d = d.T
+    return d.reshape(2, 3)
+
+
 def _range_to_face(pr: np.ndarray, dims) -> Tuple[Face, tuple]:
     """CGNS PointRange (2,3) [begin;end] 1-based NODE indices -> (Face, rng)
     with rng in 0-based cell index ranges over the two tangential axes
@@ -232,7 +261,7 @@ def _read_zone_bcs(z, dims) -> List[BCSubface]:
                    if _node_name(c) == "PointRange"]
             if not prs:
                 continue
-            pr = np.asarray(_node_data(prs[0])).T  # (2, 3) [begin; end]
+            pr = _as_index_range(_node_data(prs[0]))  # (2,3) [begin; end]
             bctype = _CGNS_TO_BC.get(bc_name)
             if bctype is None:
                 # FamilySpecified etc.: guess from family name keywords
@@ -245,7 +274,7 @@ def _read_zone_bcs(z, dims) -> List[BCSubface]:
                     bctype = BCType.FARFIELD
                 else:
                     bctype = BCType.FARFIELD
-            face, rng = _range_to_face(pr.reshape(2, 3), dims)
+            face, rng = _range_to_face(pr, dims)
             full = rng == ((0, dims[[a for a in range(3)
                                      if a != face.axis][0]]),
                            (0, dims[[a for a in range(3)
@@ -265,9 +294,9 @@ def _read_zone_conns(z, dims, name_to_idx) -> List[B2BConnection]:
             pr = prd = tr = None
             for ch in _children_by_label(c, "IndexRange_t"):
                 if _node_name(ch) == "PointRange":
-                    pr = np.asarray(_node_data(ch)).T.reshape(2, 3)
+                    pr = _as_index_range(_node_data(ch))
                 elif _node_name(ch) == "PointRangeDonor":
-                    prd = np.asarray(_node_data(ch)).T.reshape(2, 3)
+                    prd = _as_index_range(_node_data(ch))
             for ch in _children_by_label(c, '"int[IndexDimension]"'):
                 tr = np.asarray(_node_data(ch)).reshape(-1)[:3]
             if tr is None and "Transform" in c:
@@ -438,11 +467,9 @@ def _write_conn(zgc, name: str, cn: B2BConnection, dims, blocks):
 def read_cgns_solution(path: str, sol_name: Optional[str] = None
                        ) -> List[Dict[str, np.ndarray]]:
     """Per-zone {variable: (ni, nj, nk)} cell-centered solution arrays
-    (restart read; reference: variableReading.F90)."""
-    import h5py
-
+    (restart read; reference: variableReading.F90). Both CGNS flavors."""
     out: List[Dict[str, np.ndarray]] = []
-    with h5py.File(path, "r") as f:
+    with _open_cgns(path) as f:
         base = _children_by_label(f, "CGNSBase_t")[0]
         zones = _children_by_label(base, "Zone_t")
         zones.sort(key=_node_name)

@@ -42,7 +42,16 @@ class ProblemConfig:
     discretization: str = "central plus scalar dissipation"
     limiter: str = "van albada"
     entropy_fix: float = 0.05
+    # face flux for the upwind path (reference riemannSolver option:
+    # 'Roe' | 'van Leer' | 'ausmdv' — the latter terminates in the
+    # reference as well, fluxes.F90:2522-2526)
+    riemann_solver: str = "roe"
     turbulence_model: str = "sa"
+    # turbulence advection order (reference turbulenceOrder option,
+    # doc/options.yaml:198: 'first order' recommended / 'second order');
+    # second order = limited MUSCL reconstruction of the advected
+    # turbulence variable (sa.py / sst.py advection terms)
+    turb_order: str = "first order"
     # turbulence residual row scaling (reference: turbResScale option,
     # inputParam.F90:252/293, applied in sa.F90 saResScale:678). Float or
     # per-variable tuple; see ``turb_scales``. Scaled rows balance the

@@ -166,7 +166,19 @@ def sa_residual(w, p, metrics, cfg, ref, d_ext):
         ntA = nut[tuple(itx)]
         ntL = _shift(ntA, axis, 1, -2)
         ntR = _shift(ntA, axis, 2, -1)
-        nt_up = jnp.where(q_f >= 0.0, ntL, ntR)
+        if cfg.turb_order.replace(" ", "").lower() == "secondorder":
+            # second-order turbulence advection (reference turbulenceOrder
+            # 'second order', doc/options.yaml:198): van-Albada-limited
+            # MUSCL reconstruction of nuTilde at the face
+            from adflow_tpu.physics.upwind import _van_albada
+            ntLL = _shift(ntA, axis, 0, -3)
+            ntRR = _shift(ntA, axis, 3, 0)
+            dc = ntR - ntL
+            ntLft = ntL + 0.5 * _van_albada(ntL - ntLL, dc)
+            ntRgt = ntR - 0.5 * _van_albada(ntRR - ntR, dc)
+            nt_up = jnp.where(q_f >= 0.0, ntLft, ntRgt)
+        else:
+            nt_up = jnp.where(q_f >= 0.0, ntL, ntR)
         flux_adv = q_f * nt_up
         R = R + (_shift(flux_adv, axis, 1, 0) - _shift(flux_adv, axis, 0, -1))
         q_div = q_div + (_shift(q_f, axis, 1, 0) - _shift(q_f, axis, 0, -1))

@@ -169,7 +169,18 @@ def sst_residual(w, p, metrics, cfg, ref, d_ext):
             qA = w[tuple(itx)][..., iq]
             qL = _shift(qA, axis, 1, -2)
             qR = _shift(qA, axis, 2, -1)
-            q_up = jnp.where(q_f >= 0.0, qL, qR)
+            if cfg.turb_order.replace(" ", "").lower() == "secondorder":
+                # second-order turbulence advection (turbulenceOrder
+                # option; see sa.py for the SA twin)
+                from adflow_tpu.physics.upwind import _van_albada
+                qLL = _shift(qA, axis, 0, -3)
+                qRR = _shift(qA, axis, 3, 0)
+                dc = qR - qL
+                qLft = qL + 0.5 * _van_albada(qL - qLL, dc)
+                qRgt = qR - 0.5 * _van_albada(qRR - qR, dc)
+                q_up = jnp.where(q_f >= 0.0, qLft, qRgt)
+            else:
+                q_up = jnp.where(q_f >= 0.0, qL, qR)
             flux = q_f * q_up
             dflux = _shift(flux, axis, 1, 0) - _shift(flux, axis, 0, -1)
             if acc == "k":

@@ -181,6 +181,48 @@ def roe_flux(qL, qR, svec, entropy_fix: float = 0.05):
     return 0.5 * (fL + fR) - 0.5 * smag[..., None] * diss
 
 
+def van_leer_flux(qL, qR, svec):
+    """Van Leer flux-vector splitting F = F+(qL) + F-(qR).
+
+    Reference analogue: the ``vanLeer`` branch of ``riemannFlux``
+    (fluxes.F90:2522) — which the reference leaves unimplemented
+    ("van leer fvs not implemented yet"); implemented here for real from
+    the standard van Leer (1982) split: for |M| < 1,
+    fmass± = ±rho c (M±1)²/4, with the momentum/energy carried as
+    fmass± * [v + n(-un ± 2c)/gamma] and
+    fmass± * [((gamma-1) un ± 2c)²/(2(gamma²-1)) + (|v|²-un²)/2].
+    Supersonic faces take the full one-sided flux. svec NOT normalized.
+    """
+    smag = jnp.linalg.norm(svec, axis=-1)
+    nhat = svec / jnp.maximum(smag, 1e-30)[..., None]
+    gm1 = GAMMA - 1.0
+
+    def split(q, sign):
+        rho = q[..., 0]
+        vel = q[..., 1:4]
+        p = q[..., 4]
+        c = jnp.sqrt(jnp.maximum(GAMMA * p / rho, 1e-12))
+        un = jnp.sum(vel * nhat, axis=-1)
+        mach = un / c
+        # subsonic split flux
+        fmass = sign * 0.25 * rho * c * (mach + sign) ** 2
+        vmod = vel + nhat * ((-un + sign * 2.0 * c) / GAMMA)[..., None]
+        fmom = fmass[..., None] * vmod
+        fen = fmass * ((gm1 * un + sign * 2.0 * c) ** 2
+                       / (2.0 * (GAMMA * GAMMA - 1.0))
+                       + 0.5 * (jnp.sum(vel * vel, axis=-1) - un * un))
+        fsub = jnp.concatenate(
+            [fmass[..., None], fmom, fen[..., None]], axis=-1)
+        # supersonic: full flux (downwind side contributes zero)
+        ffull = _flux_from_prim(q, nhat)
+        upwind_full = sign * mach >= 1.0
+        downwind = sign * mach <= -1.0
+        f = jnp.where(upwind_full[..., None], ffull, fsub)
+        return jnp.where(downwind[..., None], 0.0, f)
+
+    return smag[..., None] * (split(qL, 1.0) + split(qR, -1.0))
+
+
 def roe_abs_jacobian_apply(qL, qR, svec, dw, eps_acoustic: float = 0.25,
                            eps_shear: float = 0.025):
     """|A_roe(qL, qR)| @ dw for a conservative difference vector dw
@@ -289,13 +331,25 @@ def matrix_dissipation_residual(w, p, metrics, cfg, por=None):
 
 
 def upwind_residual(w, p, metrics, cfg, por=None):
-    """MUSCL/Roe residual on the interior (drop-in for
-    fluxes.inviscid_residual; positive = net outflow)."""
+    """MUSCL + approximate-Riemann residual on the interior (drop-in for
+    fluxes.inviscid_residual; positive = net outflow). The face flux is
+    selected by ``cfg.riemann_solver`` (reference riemannSolver option:
+    'Roe' | 'van Leer'; 'ausmdv' is unimplemented in the reference too,
+    fluxes.F90:2525)."""
+    rs = cfg.riemann_solver.replace(" ", "").lower()
+    if rs not in ("roe", "vanleer"):
+        raise NotImplementedError(
+            f"riemannSolver '{cfg.riemann_solver}' not implemented "
+            "(supported: Roe, van Leer; the reference also terminates on "
+            "ausmdv)")
     q = _primitives(w, p)
     R = None
     for axis, s in enumerate([metrics.si, metrics.sj, metrics.sk]):
         qL, qR = muscl_states(q, axis, cfg.limiter)
-        flux = roe_flux(qL, qR, s, cfg.entropy_fix)
+        if rs == "vanleer":
+            flux = van_leer_flux(qL, qR, s)
+        else:
+            flux = roe_flux(qL, qR, s, cfg.entropy_fix)
         if por is not None:
             # solid faces: pressure-only (boundFlux; see fluxes.py)
             pv = jnp.asarray(por[axis], w.dtype)[..., None]

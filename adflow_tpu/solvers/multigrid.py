@@ -229,12 +229,19 @@ VIS2_COARSE = 0.5   # reference default vis2Coarse (doc/options.yaml)
 CFL_COARSE_FACTOR = 1.0 / 3.0
 
 
-def _level_cfg(cfg: ProblemConfig, lev: int) -> ProblemConfig:
+def _level_cfg(cfg: ProblemConfig, lev: int,
+               vis2_coarse: float = VIS2_COARSE,
+               coarse_disc: str = None) -> ProblemConfig:
     """Coarse levels use constant 2nd-difference dissipation (the
-    reference's coarse-grid discretization, residuals.F90:70-77)."""
+    reference's coarse-grid discretization, residuals.F90:70-77, options
+    vis2Coarse + coarseDiscretization — an upwind fine scheme drops to
+    the central+constant-dissipation coarse scheme unless
+    coarseDiscretization says 'upwind')."""
     if lev == 0:
         return cfg
-    return dataclasses.replace(cfg, vis2=VIS2_COARSE, coarse_level=True)
+    disc = (coarse_disc or "central plus scalar dissipation").lower()
+    return dataclasses.replace(cfg, vis2=vis2_coarse, coarse_level=True,
+                               discretization=disc)
 
 
 def _clamped_add(w, cor, max_rel: float = 0.2):
@@ -253,10 +260,11 @@ def fas_cycle(w_list, levels: List[MGLevel], cfg, ref, winf, cfl,
               lev: int = 0, f_list=None, cycle: str = "v",
               n_pre: int = 1, n_post: int = 1, n_coarsest: int = 4,
               damp: float = 1.0, irs_eps: float = 0.0,
-              cfl_coarse: float = None):
+              cfl_coarse: float = None,
+              vis2_coarse: float = VIS2_COARSE, coarse_disc: str = None):
     """One recursive FAS V/W-cycle starting at level `lev` (static unroll)."""
     level = levels[lev]
-    cfg_l = _level_cfg(cfg, lev)
+    cfg_l = _level_cfg(cfg, lev, vis2_coarse, coarse_disc)
     if cfl_coarse is None:
         cfl_l = cfl if lev == 0 else cfl * CFL_COARSE_FACTOR
     else:
@@ -283,7 +291,9 @@ def fas_cycle(w_list, levels: List[MGLevel], cfg, ref, winf, cfl,
                           level.factors[i])
            for i, w in enumerate(wf)]
     wc0f = fill_halos(wc0, coarse.metrics_list, coarse.topo, ref, winf)
-    r_c0 = _forced_residual(wc0f, coarse, _level_cfg(cfg, lev + 1), ref, None)
+    r_c0 = _forced_residual(wc0f, coarse,
+                            _level_cfg(cfg, lev + 1, vis2_coarse,
+                                       coarse_disc), ref, None)
     f_c = [restrict_residual(rf, level.factors[i]) - rc
            for i, (rf, rc) in enumerate(zip(r_f, r_c0))]
 
@@ -293,7 +303,7 @@ def fas_cycle(w_list, levels: List[MGLevel], cfg, ref, winf, cfl,
     for _ in range(n_visits):
         wc, _ = fas_cycle(wc, levels, cfg, ref, winf, cfl, lev + 1, f_c,
                           cycle, n_pre, n_post, n_coarsest, damp,
-                          irs_eps, cfl_coarse)
+                          irs_eps, cfl_coarse, vis2_coarse, coarse_disc)
 
     # prolong correction (damped + physicality-clamped), post-smooth
     new = []
@@ -321,7 +331,8 @@ def solve_mg(w_list, mesh: MultiBlockMesh, x_list, topo, cfg, ref, winf,
              monitor=None, chunk: int = 5, dtype=None,
              n_pre: int = 1, n_post: int = 1, cfl_coarse: float = None,
              res_averaging: str = "always", smooth_param: float = 1.5,
-             deadline=None):
+             deadline=None, vis2_coarse: float = VIS2_COARSE,
+             coarse_disc: str = None):
     """MG-cycle driver to steady state (solvers.F90 solveState MG branch).
 
     n_pre/n_post: nMGFine/nMGCoarse smoothing sweeps; res_averaging +
@@ -342,7 +353,9 @@ def solve_mg(w_list, mesh: MultiBlockMesh, x_list, topo, cfg, ref, winf,
         w_list, r = fas_cycle(w_list, levels, cfg, ref, winf, cfl_v,
                               cycle=ctype, irs_eps=irs_eps,
                               n_pre=n_pre, n_post=n_post,
-                              cfl_coarse=cfl_coarse)
+                              cfl_coarse=cfl_coarse,
+                              vis2_coarse=vis2_coarse,
+                              coarse_disc=coarse_disc)
         nm, nt = residual_norms(r)
         return (w_list, cfl_v), jnp.stack([nm, nt])
 

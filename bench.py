@@ -56,7 +56,7 @@ def _timeit(f, *args, reps: int = 3):
 
 
 def _timeit_trials(f, *args, reps: int = 3, trials: int = 3,
-                   spacing_s: float = 15.0):
+                   spacing_s: float = 6.0):
     """Self-defending timing: the tunnel has multi-minute bad windows
     (NOTES_TPU_INFRA.md fact 6) where the same binary runs 2-10x slower,
     so a single measurement is meaningless. Run `trials` measurements
@@ -304,7 +304,7 @@ def solve_bench(detail):
         "NKSwitchTol": 1e-4,
         "printIterations": False,
         "printTiming": False,
-        "timeLimit": 2400.0,   # give up cleanly; report achieved_rel
+        "timeLimit": 480.0,   # give up cleanly; report achieved_rel
     }
     solver = ADFLOW(options=opts, mesh=mesh)
     ap = AeroProblem(name="m6b", mach=0.84, alpha=3.06, reynolds=11.72e6,
@@ -356,12 +356,31 @@ def main():
     except Exception as e:
         detail["throughput_error"] = str(e)[:200]
         mcell = 0.0
+
+    baseline_mcell_evals = 2.0  # per CPU proc, module docstring
+
+    def headline(value):
+        return json.dumps({
+            "metric": "rans_residual_throughput",
+            "value": round(value, 2),
+            "unit": "Mcell-evals/s/chip",
+            "vs_baseline": round(value / baseline_mcell_evals, 2),
+            "detail": detail,
+        })
+
+    # TIMEOUT DEFENSE (r04 lesson: the whole round's evidence was lost to
+    # a driver timeout before the first JSON byte): print the headline
+    # line NOW, before any probe can hang; re-print a richer final line
+    # after the capped probes. Either line parses as the bench result.
+    print(headline(mcell), flush=True)
+
     # solve in its own subprocess: the remote-compile service flakes on
-    # the large f64 modules and a failure must not poison the process
+    # the large f64 modules and a failure must not poison the process.
+    # Budget: internal timeLimit 480 s + compile margin, hard cap 780 s.
     try:
         pr = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--solve-probe"],
-            capture_output=True, text=True, timeout=2900)
+            capture_output=True, text=True, timeout=780)
         for line in pr.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
@@ -376,7 +395,7 @@ def main():
     try:
         pr = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pallas-probe"],
-            capture_output=True, text=True, timeout=1500)
+            capture_output=True, text=True, timeout=300)
         for line in pr.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
@@ -389,14 +408,11 @@ def main():
     except Exception as e:
         detail["throughput"]["pallas_probe_error"] = str(e)[:160]
 
-    baseline_mcell_evals = 2.0  # per CPU proc, module docstring
-    print(json.dumps({
-        "metric": "rans_residual_throughput",
-        "value": round(mcell, 2),
-        "unit": "Mcell-evals/s/chip",
-        "vs_baseline": round(mcell / baseline_mcell_evals, 2),
-        "detail": detail,
-    }))
+    # headline is the best VALIDATED full-residual rate across paths
+    pal_full = detail["throughput"].get("pallas_full_two_dispatch", {})
+    if "mcell_evals_per_s" in pal_full:
+        mcell = max(mcell, pal_full["mcell_evals_per_s"])
+    print(headline(mcell), flush=True)
 
 
 if __name__ == "__main__":

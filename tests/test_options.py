@@ -7,8 +7,10 @@ against accepted-but-ignored options — an option either does something or
 is listed in the explicit _INERT_OPTIONS set.
 """
 
+import io
 import pathlib
 import time
+import tokenize
 
 import pytest
 
@@ -20,14 +22,36 @@ from adflow_tpu.options import _DEFAULT_OPTIONS, _INERT_OPTIONS, Options
 PKG = pathlib.Path(__file__).resolve().parents[1] / "adflow_tpu"
 
 
+def _code_only(src: str) -> str:
+    """Source with comments and docstrings stripped — a mention of an
+    option name in prose must NOT count as consumption (an option is
+    consumed via opts['Name'] string keys, which survive: only
+    statement-position strings are docstrings)."""
+    out = []
+    stmt_start = True    # next STRING at statement position = docstring
+    for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+        if tok.type in (tokenize.COMMENT, tokenize.NL, tokenize.ENCODING):
+            continue
+        if tok.type in (tokenize.NEWLINE, tokenize.INDENT,
+                        tokenize.DEDENT):
+            stmt_start = True
+            continue
+        if tok.type == tokenize.STRING and stmt_start:
+            continue             # docstring / bare string statement
+        stmt_start = False
+        out.append(tok.string)
+    return " ".join(out)
+
+
 def test_every_option_is_consumed_or_declared_inert():
-    """Every default option name must appear in source (outside options.py)
-    or be in the documented inert set — no silent no-op options."""
+    """Every default option name must appear in executable source (outside
+    options.py, excluding comments and docstrings) or be in the documented
+    inert set — no silent no-op options."""
     src = ""
     for p in PKG.rglob("*.py"):
         if p.name == "options.py":
             continue
-        src += p.read_text()
+        src += _code_only(p.read_text())
     missing = []
     for name in _DEFAULT_OPTIONS:
         if name in _INERT_OPTIONS:
