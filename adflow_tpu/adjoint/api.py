@@ -147,6 +147,8 @@ def build_adjoint_fns(solver) -> AdjointFns:
                                extras_list)
         return packer.pack(r_list)
 
+    user_surfaces = list(getattr(solver, "_user_surfaces", []))
+
     def funcs(wvec, xvec, params):
         ref, winf, x_list, metrics_list, w_list = _prep(wvec, xvec, params)
         w_list = fill_halos(w_list, metrics_list, topo, ref, winf)
@@ -157,8 +159,15 @@ def build_adjoint_fns(solver) -> AdjointFns:
                              ref, cfg, iblank_list=ibl,
                              extras_list=extras_list,
                              patch_weights=wall_patch_weights,
-                             cp_targets=cp_targets)
-        return cost_functions(f, ref)
+                             cp_targets=cp_targets,
+                             zipper=getattr(solver, "zipper_gaps", None))
+        out = cost_functions(f, ref)
+        for surf in user_surfaces:
+            # user integration surfaces are adjoint-capable objectives
+            # (static gather tables; pure function of w)
+            from adflow_tpu.physics.usersurf import integrate_user_surface
+            out.update(integrate_user_surface(w_list, surf, ref))
+        return out
 
     return AdjointFns(res=res, funcs=funcs, pack_x=pack_x,
                       unpack_x=unpack_x)

@@ -176,16 +176,26 @@ class ADFLOW:
             use_pallas=bool(self.options["useBlockettes"])
             and jax.default_backend() == "tpu",
         )
+        # gammaConstant: non-1.4 already rejected at option validation;
+        # the kernels bake the GAMMA constant in at trace time
+        assert abs(float(self.options["gammaConstant"]) - GAMMA) < 1e-12
         self.wall_patches = build_wall_patches(mesh)
         self.flow_patches = build_wall_patches(mesh,
                                                include=FLOW_THROUGH_BCS)
         # zipper-equivalent overlap dedup weights for overset surfaces
         # (overset/assembly.py overlap_surface_weights)
         self.wall_patch_weights = None
+        self.zipper_gaps = None
         if any(bs.iblank is not None for bs in self.topo.blocks):
-            from adflow_tpu.overset.assembly import overlap_surface_weights
+            from adflow_tpu.overset.assembly import (
+                build_zipper_gaps, overlap_surface_weights)
             self.wall_patch_weights = overlap_surface_weights(
                 mesh, self.wall_patches)
+            if bool(self.options["useZipperMesh"]):
+                # gap-strip triangulation so overset surface integrals are
+                # watertight (reference zipperMesh.F90 createZipperMesh)
+                self.zipper_gaps = build_zipper_gaps(
+                    mesh, self.wall_patches, self.wall_patch_weights)
 
         # wall distance for RANS (reference: wallDistance.F90:129); the
         # point->element association feeds the useApproxWallDistance fast
@@ -598,6 +608,20 @@ class ADFLOW:
                 f"CpTargets length {len(flat)} != group faces {ofs}")
         self._cp_targets = tg
 
+    def checkMeshQuality(self, warn: bool = True):
+        """Mesh quality report at the CURRENT coordinates (reference:
+        gridChecking.F90 blockCheck + pyADflow mesh warp failure
+        detection, pyADflow.py:1246-1266): inverted-cell / twisted-cell
+        counts, min volume, max skewness and aspect ratio."""
+        from adflow_tpu.geom.quality import check_mesh_quality
+        rep = check_mesh_quality(self.mesh, self.x_list)
+        if warn and not rep["ok"]:
+            print(f"# WARNING mesh quality: "
+                  f"{rep['n_negative_volumes']} negative volumes, "
+                  f"{rep['n_twisted_cells']} twisted cells "
+                  f"(min vol {rep['min_volume']:.3e})")
+        return rep
+
     def checkPartitioning(self, nprocs: int):
         """Load-balance quality for a hypothetical nprocs chips
         (reference: pyADflow.checkPartitioning:1161 / loadBalance.F90):
@@ -719,7 +743,8 @@ class ADFLOW:
                              self.wall_patches, self.ref, self.cfg,
                              iblank_list=ibl, extras_list=self.extras_list,
                              patch_weights=self.wall_patch_weights,
-                             cp_targets=getattr(self, "_cp_targets", None))
+                             cp_targets=getattr(self, "_cp_targets", None),
+                             zipper=self.zipper_gaps)
         f.update(wall_sensors(wf, self.metrics_list, self.wall_patches,
                               self.ref, iblank_list=ibl,
                               x_list=self.x_list))
@@ -727,6 +752,9 @@ class ADFLOW:
             f.update(flow_through(wf, self.metrics_list, self.flow_patches,
                                   self.ref))
         all_funcs = cost_functions(f, self.ref)
+        for surf in getattr(self, "_user_surfaces", []):
+            from adflow_tpu.physics.usersurf import integrate_user_surface
+            all_funcs.update(integrate_user_surface(wf, surf, self.ref))
         if getattr(self, "_ts_stab", None):
             all_funcs.update(self._ts_stab)
         if getattr(self, "_extra_funcs", None):
@@ -1205,6 +1233,31 @@ class ADFLOW:
             out.append(nodal.reshape(-1, 3) * self.ref.p_ref_dim)
         return (np.concatenate(out) if out else np.zeros((0, 3)))
 
+    def addIntegrationSurface(self, fileName, familyName: str,
+                              isInflow: bool = True):
+        """Add a user-defined integration surface: an arbitrary
+        triangulated plane inside the domain on which mass flow and
+        mass-averaged totals are integrated, exposed as cost functions
+        ``<familyName>_mdot`` / ``_mavgptot`` / ``_mavgttot`` / ``_mavgps``
+        / ``_mavgmn`` / ``_area`` (reference:
+        pyADflow.addIntegrationSurface:780 +
+        userSurfaceIntegrations.F90). ``fileName`` is a formatted PLOT3D
+        surface file, or a ``(pts, conn)`` tuple of vertex coordinates
+        (np, 3) and quad/tri connectivity."""
+        from adflow_tpu.physics.usersurf import (
+            build_integration_surface, read_plot3d_surf)
+        if isinstance(fileName, str):
+            pts, conn = read_plot3d_surf(fileName)
+        else:
+            pts, conn = fileName
+        surf = build_integration_surface(
+            self.mesh, self.x_list, pts, conn, familyName,
+            is_inflow=isInflow)
+        if not hasattr(self, "_user_surfaces"):
+            self._user_surfaces = []
+        self._user_surfaces.append(surf)
+        self._afns = None        # adjoint funcs now include this surface
+
     def addActuatorRegion(self, axis1, axis2, radius: float,
                           familyName: str = "actuator",
                           thrust: float = 0.0, torque: float = 0.0):
@@ -1572,9 +1625,13 @@ class ADFLOW:
             self.topo = build_topology(warped, cut_callback=self._cut_cb)
             if self.wall_patch_weights is not None:
                 from adflow_tpu.overset.assembly import (
-                    overlap_surface_weights)
+                    build_zipper_gaps, overlap_surface_weights)
                 self.wall_patch_weights = overlap_surface_weights(
                     warped, self.wall_patches)
+                if bool(self.options["useZipperMesh"]):
+                    self.zipper_gaps = build_zipper_gaps(
+                        warped, self.wall_patches,
+                        self.wall_patch_weights)
         if self.cfg.rans:
             from adflow_tpu.geom.walldist import (
                 compute_wall_distances, update_wall_distances)

@@ -55,6 +55,11 @@ _DEFAULT_OPTIONS: Dict[str, Any] = {
     "eddyVisInfRatio": 0.009,
     "useWallFunctions": False,
     "useApproxWallDistance": True,
+    # constant ratio of specific heats (reference: gammaConstant option,
+    # flowUtils.F90 computeGamma; the variable-gamma Cp curve fits of
+    # CpCurveFits.f90 are out of scope — any non-1.4 value is rejected at
+    # validation, not silently ignored)
+    "gammaConstant": 1.4,
     "wallDistCutoff": 1e20,
     "lowSpeedPreconditioner": False,
 
@@ -258,7 +263,7 @@ _INERT_OPTIONS = {
     "ANKUseMatrixFree",    # always matrix-free (exact jvp); no assembled path
     "ADPC",
     "applyAdjointPCSubspaceSize",
-    "nearWallDist", "oversetProjTol", "useZipperMesh",
+    "nearWallDist", "oversetProjTol",
     "partitionOnly", "meshDevices", "meshAxisName", "blockPadding",
     "haloExchangeMode", "deterministicReductions",
 }
@@ -358,3 +363,9 @@ class Options:
                     f"Option '{self._canon[lk]}'='{val}' not in {choices}")
         if self["liftIndex"] not in (2, 3):
             raise ValueError("liftIndex must be 2 (y-lift) or 3 (z-lift)")
+        if abs(float(self["gammaConstant"]) - 1.4) > 1e-12:
+            raise NotImplementedError(
+                "gammaConstant != 1.4 requires the variable-gamma "
+                "thermodynamics (reference CpCurveFits.f90 / "
+                "flowUtils.F90 computeGamma), which this framework does "
+                "not implement; only air with gamma = 1.4 is supported")

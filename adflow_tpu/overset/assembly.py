@@ -439,7 +439,11 @@ def build_overset(mesh: MultiBlockMesh,
         dflats = np.array([d for d, _, _ in items], np.int32)
         sflats = np.stack([np.asarray(s, np.int32)
                            for _, s, _ in items], axis=1)   # (8, n)
-        wgts = np.stack([w for _, _, w in items], axis=0)    # (n, 8)
+        # group layout is (stencil, receiver) = (8, n) for BOTH arrays —
+        # stacking weights along axis=0 gave (n, 8), which einsum "sn,snv"
+        # silently accepted only when n happened to equal 8 (and then with
+        # TRANSPOSED weights); caught by the auto-background overset test
+        wgts = np.stack([w for _, _, w in items], axis=1)    # (8, n)
         groups.append(OversetGroup(
             dst_block=bi, src_block=bi, dst_flat=dflats,
             src_flat=sflats, weights=wgts, priority=2))
@@ -634,3 +638,273 @@ def overlap_surface_weights(mesh: MultiBlockMesh, patches):
         w = np.where(close & finer_other, 0.0, 1.0)
         out.append(w.reshape(a.shape) if (w == 0).any() else None)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Zipper gap triangulation
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ZipperGaps:
+    """Triangles stitching the gap strips the overlap dedup leaves between
+    overset surface patches (reference: overset/zipperMesh.F90:18
+    createZipperMesh + stringOps.F90 — retained-region boundary "strings"
+    from each cluster are pocket-triangulated so surface integrals are
+    watertight; Chan 2009). Each triangle carries the (patch, face)
+    association from which its pressure/traction data is taken at
+    integration time (solver/zipperIntegrations.F90 concept)."""
+
+    patch_idx: np.ndarray     # (nt,) index into the wall-patch list
+    face_flat: np.ndarray     # (nt,) flat face index within that patch
+    svec: np.ndarray          # (nt, 3) triangle area vectors (unoriented;
+                              # integrate_forces aligns with the face normal)
+    centroid: np.ndarray      # (nt, 3)
+
+    @property
+    def n_tris(self) -> int:
+        return len(self.patch_idx)
+
+
+def _retained_boundary_edges(xs: np.ndarray, keep: np.ndarray):
+    """Edges adjacent to exactly one retained face of a patch.
+
+    xs: (T1+1, T2+1, 3) patch nodes; keep: (T1, T2) bool. Returns
+    (p0, p1, face_flat): edge endpoint coords + the retained face index.
+    """
+    T1, T2 = keep.shape
+    k = keep.astype(np.int8)
+    p0s, p1s, faces = [], [], []
+    # edges along j (fixed i in 0..T1): between faces (i-1, j) and (i, j)
+    lo = np.zeros((T1 + 1, T2), np.int8)
+    hi = np.zeros((T1 + 1, T2), np.int8)
+    lo[1:], hi[:-1] = k, k
+    cnt = lo + hi
+    ii, jj = np.nonzero(cnt == 1)
+    if len(ii):
+        p0s.append(xs[ii, jj]); p1s.append(xs[ii, jj + 1])
+        fi = np.where(lo[ii, jj] == 1, np.clip(ii - 1, 0, T1 - 1), ii)
+        faces.append(np.clip(fi, 0, T1 - 1) * T2 + jj)
+    # edges along i (fixed j in 0..T2): between faces (i, j-1) and (i, j)
+    lo = np.zeros((T1, T2 + 1), np.int8)
+    hi = np.zeros((T1, T2 + 1), np.int8)
+    lo[:, 1:], hi[:, :-1] = k, k
+    cnt = lo + hi
+    ii, jj = np.nonzero(cnt == 1)
+    if len(ii):
+        p0s.append(xs[ii, jj]); p1s.append(xs[ii + 1, jj])
+        fj = np.where(lo[ii, jj] == 1, np.clip(jj - 1, 0, T2 - 1), jj)
+        faces.append(ii * T2 + np.clip(fj, 0, T2 - 1))
+    if not p0s:
+        z = np.zeros((0, 3))
+        return z, z, np.zeros(0, np.int64)
+    return (np.concatenate(p0s), np.concatenate(p1s),
+            np.concatenate(faces))
+
+
+def _order_polylines(p0, p1):
+    """Group undirected edges into ordered polylines (open chains first,
+    then closed loops). Returns a list of (points (m, 3), closed)."""
+    if not len(p0):
+        return []
+    pts = np.concatenate([p0, p1])
+    scale = max(float(np.max(np.abs(pts))), 1.0)
+    key = np.round(pts / (1e-9 * scale)).astype(np.int64)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    coords = np.zeros((len(uniq), 3))
+    coords[inv] = pts
+    n0, n1 = inv[:len(p0)], inv[len(p0):]
+    adj: dict = {}
+    for e, (a, b) in enumerate(zip(n0, n1)):
+        if a == b:
+            continue
+        adj.setdefault(a, []).append((b, e))
+        adj.setdefault(b, []).append((a, e))
+    used = np.zeros(len(p0), bool)
+    out = []
+
+    def walk(start):
+        chain = [start]
+        cur = start
+        while True:
+            nxt = None
+            for (b, e) in adj.get(cur, []):
+                if not used[e]:
+                    used[e] = True
+                    nxt = b
+                    break
+            if nxt is None:
+                break
+            chain.append(nxt)
+            cur = nxt
+        return chain
+
+    deg1 = [nid for nid, lst in adj.items()
+            if sum(1 for (_, e) in lst if not used[e]) == 1]
+    for nid in deg1:
+        if all(used[e] for (_, e) in adj[nid]):
+            continue
+        chain = walk(nid)
+        if len(chain) >= 2:
+            out.append((coords[chain], False))
+    for nid in list(adj):
+        if all(used[e] for (_, e) in adj[nid]):
+            continue
+        chain = walk(nid)
+        if len(chain) >= 3:
+            out.append((coords[chain], True))
+    return out
+
+
+def _stitch(A: np.ndarray, B: np.ndarray, closedA: bool, closedB: bool):
+    """Greedy zipper triangulation between two polylines: at each step
+    advance the side whose next point is closer to the other side's
+    current point (the classic gap-strip march, zipperMesh.F90 concept).
+    Returns (nt, 3, 3) triangle vertex array."""
+    if closedA:
+        A = np.concatenate([A, A[:1]])
+    if closedB:
+        B = np.concatenate([B, B[:1]])
+    # align B's start and direction to A
+    d0 = np.linalg.norm(B - A[0], axis=1)
+    j0 = int(np.argmin(d0))
+    B = np.concatenate([B[j0:], B[1:j0 + 1]]) if closedB else B
+    if not closedB:
+        if (np.linalg.norm(B[0] - A[0])
+                > np.linalg.norm(B[-1] - A[0])):
+            B = B[::-1]
+    else:
+        a_next = A[min(1, len(A) - 1)]
+        if (np.linalg.norm(B[1] - a_next)
+                > np.linalg.norm(B[-2] - a_next)):
+            B = B[::-1]
+    tris = []
+    i = j = 0
+    while i < len(A) - 1 or j < len(B) - 1:
+        can_a = i < len(A) - 1
+        can_b = j < len(B) - 1
+        if can_a and can_b:
+            da = np.linalg.norm(A[i + 1] - B[j])
+            db = np.linalg.norm(B[j + 1] - A[i])
+            adv_a = da <= db
+        else:
+            adv_a = can_a
+        if adv_a:
+            tris.append((A[i], A[i + 1], B[j]))
+            i += 1
+        else:
+            tris.append((A[i], B[j + 1], B[j]))
+            j += 1
+    return np.asarray(tris).reshape(-1, 3, 3)
+
+
+def build_zipper_gaps(mesh: MultiBlockMesh, patches,
+                      weights) -> Optional[ZipperGaps]:
+    """Triangulate the gap strips between overset surface patches after
+    overlap dedup (``overlap_surface_weights``). Returns None when no
+    cross-cluster surface overlap exists."""
+    if cKDTree is None or weights is None:
+        return None
+    clusters = _clusters(mesh)
+    pdata = []           # per patch: xs, keep, centers, diam
+    any_removed = False
+    for pi, p in enumerate(patches):
+        blk = mesh.blocks[p.block]
+        xs = np.asarray(blk.x[p.fnode_sl], float)
+        T1, T2 = xs.shape[0] - 1, xs.shape[1] - 1
+        w = weights[pi]
+        keep = np.ones((T1, T2), bool) if w is None else (
+            np.asarray(w) > 0.5)
+        any_removed |= (~keep).any()
+        c = 0.25 * (xs[:-1, :-1] + xs[1:, :-1] + xs[1:, 1:] + xs[:-1, 1:])
+        d1 = xs[1:, 1:] - xs[:-1, :-1]
+        d2 = xs[:-1, 1:] - xs[1:, :-1]
+        a = 0.5 * np.linalg.norm(np.cross(d1, d2), axis=-1)
+        pdata.append((xs, keep, c, np.sqrt(np.maximum(a, 0.0)),
+                      clusters[p.block]))
+    if not any_removed:
+        return None
+
+    cls = sorted(set(int(d[4]) for d in pdata))
+    # retained-face trees per cluster (for the closeness filter and the
+    # triangle -> data-face association)
+    cl_pts, cl_meta = {}, {}
+    for cl in cls:
+        pts, meta = [], []
+        for pi, (xs, keep, c, dm, pcl) in enumerate(pdata):
+            if pcl != cl:
+                continue
+            idx = np.argwhere(keep)
+            if len(idx):
+                pts.append(c[idx[:, 0], idx[:, 1]])
+                meta.append(np.stack(
+                    [np.full(len(idx), pi),
+                     idx[:, 0] * keep.shape[1] + idx[:, 1]], axis=1))
+        if pts:
+            cl_pts[cl] = np.concatenate(pts)
+            cl_meta[cl] = np.concatenate(meta)
+    trees = {cl: cKDTree(cl_pts[cl]) for cl in cl_pts}
+
+    # gap-front edges per cluster: retained-region boundary edges whose
+    # midpoint lies on/near ANOTHER cluster's retained surface
+    front = {cl: ([], []) for cl in cls}       # (p0 list, p1 list)
+    for pi, (xs, keep, c, dm, pcl) in enumerate(pdata):
+        p0, p1, faces = _retained_boundary_edges(xs, keep)
+        if not len(p0):
+            continue
+        mid = 0.5 * (p0 + p1)
+        elen = np.linalg.norm(p1 - p0, axis=1)
+        close = np.zeros(len(p0), bool)
+        for cl in cls:
+            if cl == pcl or cl not in trees:
+                continue
+            dist, _ = trees[cl].query(mid)
+            close |= dist < 1.5 * np.maximum(elen, 1e-300)
+        if close.any():
+            front[pcl][0].append(p0[close])
+            front[pcl][1].append(p1[close])
+
+    live = [cl for cl in cls if front[cl][0]]
+    if len(live) < 2:
+        return None
+    # polylines per cluster
+    lines = {cl: _order_polylines(np.concatenate(front[cl][0]),
+                                  np.concatenate(front[cl][1]))
+             for cl in live}
+    # pair each polyline of the FIRST live cluster with the nearest
+    # polyline of each other cluster and stitch
+    tris = []
+    clA = live[0]
+    for A, closedA in lines[clA]:
+        for clB in live[1:]:
+            if not lines[clB]:
+                continue
+            best, bd = None, np.inf
+            for B, closedB in lines[clB]:
+                tb = cKDTree(B)
+                d = float(np.mean(tb.query(A)[0]))
+                if d < bd:
+                    bd, best = d, (B, closedB)
+            B, closedB = best
+            t = _stitch(A, B, closedA, closedB)
+            if len(t):
+                tris.append(t)
+    if not tris:
+        return None
+    tv = np.concatenate(tris)
+    svec = 0.5 * np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    cen = tv.mean(axis=1)
+    # drop degenerate slivers
+    area = np.linalg.norm(svec, axis=1)
+    ref_a = np.median([float(np.median(d[3]) ** 2) for d in pdata])
+    good = area > 1e-8 * max(ref_a, 1e-300)
+    svec, cen = svec[good], cen[good]
+    if not len(svec):
+        return None
+    # associate each triangle with the nearest retained face (data source)
+    allpts = np.concatenate([cl_pts[cl] for cl in cl_pts])
+    allmeta = np.concatenate([cl_meta[cl] for cl in cl_pts])
+    tree = cKDTree(allpts)
+    _, nearest = tree.query(cen)
+    return ZipperGaps(patch_idx=allmeta[nearest, 0],
+                      face_flat=allmeta[nearest, 1],
+                      svec=svec, centroid=cen)

@@ -139,12 +139,16 @@ def integrate_forces(w_list, x_list, metrics_list,
                      cfg=None, iblank_list=None,
                      extras_list=None,
                      patch_weights=None,
-                     cp_targets=None) -> Dict[str, jnp.ndarray]:
+                     cp_targets=None, zipper=None) -> Dict[str, jnp.ndarray]:
     """Integrated force + moment vectors (nondim), pressure and viscous
     parts. Halos of w must be filled. ``patch_weights``: optional per-patch
     (T1, T2) face weights — the zipper-equivalent overlap deduplication for
     overset surfaces (overset/assembly.py overlap_surface_weights;
-    reference zipperIntegrations.F90). Returns dict of 3-vectors."""
+    reference zipperIntegrations.F90). ``zipper``: optional ZipperGaps —
+    gap-strip triangles stitching the dedup fronts watertight
+    (overset/assembly.py build_zipper_gaps; reference zipperMesh.F90:18),
+    integrated with face-associated pressure/traction data. Returns dict
+    of 3-vectors."""
     force_p = jnp.zeros(3)
     force_v = jnp.zeros(3)
     moment = jnp.zeros(3)
@@ -204,6 +208,48 @@ def integrate_forces(w_list, x_list, metrics_list,
                 da = jnp.linalg.norm(s_out, axis=-1)
                 cp_err2 = cp_err2 + jnp.sum(
                     (cp - jnp.asarray(tgt)) ** 2 * da)
+
+    if zipper is not None and zipper.n_tris:
+        import numpy as _np
+        dtype = w_list[0].dtype
+        for pi in _np.unique(zipper.patch_idx):
+            patch = patches[int(pi)]
+            msel = zipper.patch_idx == pi
+            w = w_list[patch.block]
+            m = metrics_list[patch.block]
+            s = (m.si, m.sj, m.sk)[patch.axis]
+            s_out = patch.sign * s[patch.face_sl]   # unmasked: data faces
+            p_face = 0.5 * (pressure(w[patch.int_sl])
+                            + pressure(w[patch.ghost_sl]))
+            idx = jnp.asarray(zipper.face_flat[msel])
+            pg = p_face.reshape(-1)[idx]
+            nf = s_out.reshape(-1, 3)[idx]
+            sv = jnp.asarray(zipper.svec[msel], dtype)
+            # orient the triangle with its data face's outward normal
+            sgn = jnp.sign(jnp.sum(sv * nf, axis=-1))
+            sv = sv * jnp.where(sgn == 0.0, 1.0, sgn)[..., None]
+            cen = jnp.asarray(zipper.centroid[msel], dtype)
+            dfp = (pg - ref.p_inf)[..., None] * sv
+            force_p = force_p + jnp.sum(dfp, axis=0)
+            moment = moment + jnp.sum(jnp.cross(cen - xref, dfp), axis=0)
+            df = dfp
+            if patch.bc in VISCOUS_WALL_BCS and cfg is not None \
+                    and cfg.viscous:
+                ex = (extras_list[patch.block]
+                      if extras_list is not None else None)
+                dfv_face = wall_viscous_tractions(
+                    w, m, cfg, ref, patch, extras=ex, cache=visc_cache)
+                a_face = jnp.linalg.norm(s_out, axis=-1).reshape(-1)[idx]
+                a_tri = jnp.linalg.norm(sv, axis=-1)
+                tv = dfv_face.reshape(-1, 3)[idx] \
+                    / jnp.maximum(a_face, 1e-30)[..., None] \
+                    * a_tri[..., None]
+                force_v = force_v + jnp.sum(tv, axis=0)
+                moment = moment + jnp.sum(jnp.cross(cen - xref, tv),
+                                          axis=0)
+                df = df + tv
+            cof = cof + jnp.einsum("ti,tj->ij", df, cen)
+            cof_lift = cof_lift + jnp.einsum("t,tj->j", df @ ld, cen)
 
     out = {"force_p": force_p, "force_v": force_v, "moment": moment,
            "cof": cof, "cof_lift": cof_lift}
