@@ -131,6 +131,16 @@ class ADFLOW:
             from adflow_tpu.io.meshio import read_mesh
             mesh = read_mesh(self.options["gridFile"])
         mesh.validate()
+        # multi-chip layout (options meshDevices/meshAxisName, SURVEY
+        # §2.10): split + order blocks so each device owns an equal slice
+        # of the stacked block axis (the reference's loadBalanceGrid,
+        # loadBalance.F90:5); the solve then runs the GSPMD stacked path
+        # (_solve_stacked), everything else sees the split mesh normally
+        self._stack_order = None
+        n_dev = int(self.options["meshDevices"])
+        if n_dev > 1:
+            from adflow_tpu.dist.stacked import balance_blocks
+            mesh, self._stack_order = balance_blocks(mesh, n_dev)
         self.mesh = mesh
 
         # ---- preprocessing (reference: preprocessingAPI.F90:5;
@@ -423,7 +433,10 @@ class ADFLOW:
             sigmon.__enter__()
             prof_cm.__enter__()
             self._fmg_start(opt)
-            if use_nk or use_ank:
+            if int(opt["meshDevices"]) > 1:
+                self.w_list, info = self._solve_stacked(
+                    opt, monitor, deadline)
+            elif use_nk or use_ank:
                 from adflow_tpu.solvers.newton import solve_newton_driver
                 self.w_list, info = solve_newton_driver(
                     self.w_list, self.metrics_list, self.topo, self.cfg,
@@ -607,6 +620,133 @@ class ADFLOW:
             raise ValueError(
                 f"CpTargets length {len(flat)} != group faces {ofs}")
         self._cp_targets = tg
+
+    def _solve_stacked(self, opt, monitor, deadline):
+        """Multi-device steady solve: blocks stacked on a leading axis
+        sharded over a jax Mesh of ``meshDevices`` devices; GSPMD inserts
+        the halo-gather collectives and psums the Krylov reductions (the
+        TPU-native analogue of the reference's MPI domain decomposition +
+        parallel PETSc KSP, SURVEY §2.10). RK startup then stacked ANK
+        (dist/stacked.py) with the SER CFL controller."""
+        import jax
+        from jax.sharding import (Mesh as JMesh, NamedSharding,
+                                  PartitionSpec as JP)
+        from adflow_tpu.dist import stacked as dstk
+
+        n_dev = int(opt["meshDevices"])
+        axis = str(opt["meshAxisName"])
+        mode = str(opt["haloExchangeMode"]).lower()
+        if mode != "gather":
+            raise NotImplementedError(
+                "the API multi-device route uses the GSPMD stacked-"
+                "blocks layout (haloExchangeMode='gather'); the "
+                "shard_map/ppermute k-split path is available through "
+                "adflow_tpu.dist.sharded for single-block meshes")
+        devs = jax.devices()
+        if len(devs) < n_dev:
+            raise ValueError(
+                f"meshDevices={n_dev} but only {len(devs)} devices")
+        warped = self._warped_mesh()
+        prob = dstk.build_stacked_problem(warped, self._stack_order)
+        sm = dstk.stack_metrics(warped, prob, self.dtype)
+        extras = None
+        if self.cfg.rans:
+            d_by_orig = [ex["walldist"] for ex in self.extras_list]
+            extras = {"walldist": dstk.stack_walldist(
+                warped, prob, d_by_orig, self.dtype)}
+        winf = jnp.asarray(self.winf, self.dtype)
+        w = dstk.stack_from_list(prob, self.w_list, winf, self.dtype)
+        dm = JMesh(np.array(devs[:n_dev]), axis_names=(axis,))
+        sh = NamedSharding(dm, JP(axis))
+        w = jax.device_put(w, sh)
+        sm = jax.device_put(sm, sh)
+        if extras is not None:
+            extras = jax.device_put(extras, sh)
+
+        n_cycles = int(opt["nCycles"])
+        use_ank = bool(opt["useANKSolver"])
+        rk = jax.jit(dstk.make_stacked_rk_step(
+            prob, self.cfg, self.ref, cfl=float(opt["CFL"])))
+        ank = jax.jit(
+            lambda w_, cfl_: dstk.stacked_ank_step(
+                w_, sm, prob, self.cfg, self.ref, winf, cfl_,
+                extras=extras,
+                m=max(int(opt["ANKSubspaceSize"]), 1)
+                if int(opt["ANKSubspaceSize"]) > 0 else 50,
+                lintol=float(opt["ANKLinearSolveTol"])))
+
+        import time as _time
+        hist = []
+        it = 0
+        failed = False
+        r0 = rnorm = None
+        ank_switch_rel = float(opt["ANKSwitchTol"])
+        target_rel = float(opt["L2Convergence"])
+        # RK startup until the ANK window
+        while it < n_cycles:
+            w, norms = rk(w, sm, winf, extras)
+            nm = float(np.asarray(norms)[0]) + float(np.asarray(norms)[1])
+            it += 1
+            if r0 is None:
+                r0 = nm
+            rnorm = nm
+            hist.append([rnorm, 0.0])
+            if monitor and not getattr(monitor, "needs_state", False):
+                monitor(it, rnorm, 0.0, itertype="RK*")
+            if not np.isfinite(rnorm):
+                failed = True
+                break
+            if rnorm <= target_rel * r0:
+                break
+            if use_ank and rnorm <= ank_switch_rel * r0:
+                break
+            if deadline is not None and _time.time() >= deadline:
+                break
+        # stacked ANK with the SER CFL controller
+        if use_ank and not failed and rnorm > target_rel * r0:
+            cfl = float(opt["ANKCFL0"])
+            cutback = float(opt["ANKCFLCutback"])
+            factor = float(opt["ANKCFLFactor"])
+            cfl_limit = float(opt["ANKCFLLimit"])
+            lin_res_max = float(opt["ANKLinResMax"])
+            n_reject = 0
+            while it < n_cycles and rnorm > target_rel * r0:
+                if deadline is not None and _time.time() >= deadline:
+                    break
+                w_new, rn, rnew, linres = ank(
+                    w, jnp.asarray(cfl, self.dtype))
+                it += 1
+                rnew_f, linres_f = float(rnew), float(linres)
+                if not np.isfinite(rnew_f) or rnew_f > 10.0 * rnorm:
+                    cfl = max(cfl * cutback, 1.0)
+                    n_reject += 1
+                    if n_reject > 25:
+                        failed = True
+                        break
+                    continue
+                n_reject = 0
+                w = w_new
+                rnorm = rnew_f
+                hist.append([rnorm, 0.0])
+                if monitor and not getattr(monitor, "needs_state",
+                                           False):
+                    monitor(it, rnorm, 0.0, cfl=cfl, linres=linres_f,
+                            itertype="ANK*")
+                if linres_f > lin_res_max:
+                    cfl = max(cfl * cutback, 1.0)
+                else:
+                    cfl = min(cfl * factor, cfl_limit)
+
+        self.w_list = dstk.unstack_to_list(prob, jax.device_get(w),
+                                           self.w_list)
+        info = steady.SolveInfo(
+            converged=bool(rnorm is not None
+                           and rnorm <= target_rel * max(r0, 1e-300)),
+            failed=bool(failed), iterations=it,
+            total_r0=float(r0 or 0.0),
+            total_r_final=float(rnorm if rnorm is not None else np.nan),
+            history=np.asarray(hist) if hist else np.zeros((0, 2)))
+        return self.w_list, info
 
     def checkMeshQuality(self, warn: bool = True):
         """Mesh quality report at the CURRENT coordinates (reference:

@@ -52,10 +52,17 @@ class BCType(enum.Enum):
     MASS_BLEED_INFLOW = "mass bleed inflow"
     MASS_BLEED_OUTFLOW = "mass bleed outflow"
     # external-coupling interfaces (constants.F90:276-281): ALL behaves as
-    # supersonic inflow with a prescribed full state (BCData.F90:2282)
+    # supersonic inflow with a prescribed full state (BCData.F90:2282);
+    # RHOUVW prescribes density+velocity (mass flow, BCData.F90:2381);
+    # TOTAL prescribes total conditions (BCData.F90:2414).
+    # Not present: mDot (-13), bcThrust (-14), SlidingInterface (-18),
+    # B2BMismatch (-17) — the reference enumerates them but has no
+    # BCRoutines handler either (legacy/turbomachinery placeholders).
     DOMAIN_INTERFACE_ALL = "domain interface all"
     DOMAIN_INTERFACE_P = "domain interface p"
     DOMAIN_INTERFACE_RHO = "domain interface rho"
+    DOMAIN_INTERFACE_RHOUVW = "domain interface rhouvw"
+    DOMAIN_INTERFACE_TOTAL = "domain interface total"
 
 
 # Wall BCs for force integration / wall distance.

@@ -606,7 +606,25 @@ def stacked_ank_step(w, sm, prob: StackedProblem, cfg: ProblemConfig,
         _, jv = jax.jvp(res_flat, (wvec,), (v,))
         return diag * v + jv
 
-    sol = gmres(matvec, -r, m=m, restarts=2, tol=lintol)
+    # line-implicit PC vmapped over the stacked block axis (the same
+    # solvers/linpc.py PC the single-device ANK uses; under a sharded jit
+    # each device factors only its own slots — the reference's per-rank
+    # ASM+ILU locality). Pad/dummy rows pass through identity.
+    from adflow_tpu.solvers.linpc import build_line_pc, line_pc_apply
+
+    def build_slot(wb, smb, rsb):
+        return build_line_pc(wb, smb, cfg, ref, dtinv=rsb / cfl,
+                             axes=(1, 0, 2), kappa=0.25)
+
+    pc_data = jax.vmap(build_slot)(wf, sm, rs)
+
+    def precond(v):
+        vb = v.reshape(prob.nb, NI, NJ, NK, nw)
+        out = jax.vmap(line_pc_apply)(pc_data, vb)
+        out = jnp.where(maskv > 0, out, vb)
+        return out.reshape(-1)
+
+    sol = gmres(matvec, -r, m=m, restarts=2, tol=lintol, precond=precond)
 
     dw = sol.x.reshape(prob.nb, NI, NJ, NK, nw)
     wi = wvec.reshape(prob.nb, NI, NJ, NK, nw)
@@ -634,3 +652,30 @@ def stacked_ank_step(w, sm, prob: StackedProblem, cfg: ProblemConfig,
     w_out = w.at[:, 2:-2, 2:-2, 2:-2].set(
         wnew_vec.reshape(prob.nb, NI, NJ, NK, nw))
     return w_out, rnorm, rnew, sol.res_norm / jnp.maximum(sol.b_norm, 1e-30)
+
+
+def stack_from_list(prob: StackedProblem, w_list, winf,
+                    dtype) -> jnp.ndarray:
+    """Stack per-block (halo-padded) states into the (B, NI+4, ...) array
+    (dummy slots and pad cells hold free stream)."""
+    w = stack_state(prob, winf, dtype)
+    for pos, orig in enumerate(prob.order):
+        if orig < 0:
+            continue
+        ni, nj, nk = prob.block_dims[pos]
+        w = w.at[pos, 2:2 + ni, 2:2 + nj, 2:2 + nk].set(
+            jnp.asarray(w_list[orig][2:-2, 2:-2, 2:-2], dtype))
+    return w
+
+
+def unstack_to_list(prob: StackedProblem, w, w_list):
+    """Scatter stacked interiors back into the per-block state list."""
+    out = list(w_list)
+    for pos, orig in enumerate(prob.order):
+        if orig < 0:
+            continue
+        ni, nj, nk = prob.block_dims[pos]
+        out[orig] = w_list[orig].at[2:-2, 2:-2, 2:-2].set(
+            w[pos, 2:2 + ni, 2:2 + nj, 2:2 + nk].astype(
+                w_list[orig].dtype))
+    return out

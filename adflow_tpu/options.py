@@ -264,8 +264,11 @@ _INERT_OPTIONS = {
     "ADPC",
     "applyAdjointPCSubspaceSize",
     "nearWallDist", "oversetProjTol",
-    "partitionOnly", "meshDevices", "meshAxisName", "blockPadding",
-    "haloExchangeMode", "deterministicReductions",
+    "partitionOnly",
+    # blockPadding: the stacked layout pads every block to ONE bucket (the
+    # max dims) — 'max' semantics; multiple size buckets not implemented
+    "blockPadding",
+    "deterministicReductions",
 }
 
 _DEPRECATED_OPTIONS = {

@@ -375,9 +375,37 @@ def _ghost_state(op: BCOp, wi, nhat, ref: ReferenceState, winf, layer: int,
             out = jnp.concatenate([out, wi[..., ITURB:]], axis=-1)
         return out
 
-    if bc in (BCType.SUBSONIC_INFLOW, BCType.MASS_BLEED_INFLOW):
+    if bc is BCType.DOMAIN_INTERFACE_RHOUVW:
+        # prescribed density AND velocity components (mass flow fixed,
+        # BCData.F90:2381 domainInterfaceRhoUVW); static p from interior
+        pi = pressure(wi)
+        v_f = winf[IMX:IMZ + 1] / winf[IRHO]   # traced-safe defaults
+        rho_g = jnp.broadcast_to(jnp.asarray(
+            _data_field(op, "rho", winf[IRHO])), pi.shape)
+        vx = jnp.broadcast_to(jnp.asarray(
+            _data_field(op, "vx", v_f[0])), pi.shape)
+        vy = jnp.broadcast_to(jnp.asarray(
+            _data_field(op, "vy", v_f[1])), pi.shape)
+        vz = jnp.broadcast_to(jnp.asarray(
+            _data_field(op, "vz", v_f[2])), pi.shape)
+        rhoe = pi / (gamma - 1.0) + 0.5 * rho_g * (vx**2 + vy**2 + vz**2)
+        out = jnp.stack([rho_g, rho_g * vx, rho_g * vy, rho_g * vz,
+                         rhoe], axis=-1)
+        if wi.shape[-1] > ITURB:
+            out = jnp.concatenate(
+                [out, jnp.broadcast_to(
+                    winf[ITURB:],
+                    out.shape[:-1] + (wi.shape[-1] - ITURB,))], axis=-1)
+        return out
+
+    if bc in (BCType.SUBSONIC_INFLOW, BCType.MASS_BLEED_INFLOW,
+              BCType.DOMAIN_INTERFACE_TOTAL):
+        # DomainInterfaceTotal (BCData.F90:2414) prescribes Pt/Tt/flow
+        # direction = the totalconditions branch below
         if (bc is BCType.MASS_BLEED_INFLOW
-                or (op.data is not None and op.data.get("rho") is not None)):
+                or (bc is not BCType.DOMAIN_INTERFACE_TOTAL
+                    and op.data is not None
+                    and op.data.get("rho") is not None)):
             # massFlow treatment (BCRoutines.F90:987): prescribed density
             # + velocity (magnitude along the inward normal or explicit
             # direction); static pressure extrapolated from the interior

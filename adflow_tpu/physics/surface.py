@@ -408,7 +408,13 @@ def wall_sensors(w_list, metrics_list, patches: Sequence[WallPatch],
 # ---------------------------------------------------------------------------
 
 FLOW_THROUGH_BCS = (BCType.SUBSONIC_INFLOW, BCType.SUBSONIC_OUTFLOW,
-                    BCType.SUPERSONIC_INFLOW, BCType.SUPERSONIC_OUTFLOW)
+                    BCType.SUPERSONIC_INFLOW, BCType.SUPERSONIC_OUTFLOW,
+                    BCType.MASS_BLEED_INFLOW, BCType.MASS_BLEED_OUTFLOW,
+                    BCType.DOMAIN_INTERFACE_ALL,
+                    BCType.DOMAIN_INTERFACE_P,
+                    BCType.DOMAIN_INTERFACE_RHO,
+                    BCType.DOMAIN_INTERFACE_RHOUVW,
+                    BCType.DOMAIN_INTERFACE_TOTAL)
 
 
 def flow_through(w_list, metrics_list, patches: Sequence[WallPatch],

@@ -410,7 +410,11 @@ def make_ank_step(fns: NewtonFns, opts, segregated: bool = False,
                     wcur = wcur + at * dwt
                 wnew = wcur
         rnew = jnp.linalg.norm(fns.res_flat(wnew))
-        return (wnew, rnorm, rnew, alpha, sol.iters,
+        # alpha0 (the physicality-limited step BEFORE merit backtracking)
+        # is the reference's lambda for the ANKStepMin/ANKConstCFLStep CFL
+        # gates: the merit search legitimately halves alpha on good steps,
+        # which must not freeze the CFL ramp
+        return (wnew, rnorm, rnew, alpha, alpha0, sol.iters,
                 sol.res_norm / jnp.maximum(sol.b_norm, 1e-30),
                 mnew / jnp.maximum(rnorm, 1e-30))
 
@@ -703,8 +707,8 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             if signal_check is not None and signal_check(
                     lambda: fns.packer.unpack_into(wvec, w_list)) == "stop":
                 break
-            wnew, rn, rnew, alpha, kiters, linres, umerit = ank_step_for(
-                rnorm)(
+            (wnew, rn, rnew, alpha, alpha0, kiters, linres,
+             umerit) = ank_step_for(rnorm)(
                 wvec, jnp.asarray(cfl, dtype),
                 lagged.get(it, wvec, rnorm, cfl))
             rnew_f = float(rnew)
@@ -748,10 +752,11 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             _mon(it, rnorm, 0.0, cfl=cfl, linres=linres_f, itertype="ANK")
             # CFL controller (reference: ANKLinResMax gating + SER ramp):
             # grow only when the linear solve met its tolerance, back off
-            # when it degraded past ANKLinResMax. Step-size gates:
-            # alpha <= ANKStepMin forces a cutback; alpha below
+            # when it degraded past ANKLinResMax. Step-size gates on the
+            # PHYSICALITY step alpha0 (the reference's lambda):
+            # alpha0 <= ANKStepMin forces a cutback; alpha0 below
             # ANKConstCFLStep holds the CFL constant (no ramp).
-            alpha_f = float(alpha)
+            alpha_f = float(alpha0)
             if alpha_f <= float(opts["ANKStepMin"]) + 1e-12:
                 cfl_cap = max(cfl * cutback, cfl_min)
                 cfl = max(cfl * cutback, cfl_min)

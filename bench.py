@@ -42,6 +42,23 @@ PALLAS_PROBE = "--pallas-probe" in sys.argv
 SOLVE_PROBE = "--solve-probe" in sys.argv
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the tunnel has multi-minute
+    compile stalls (NOTES_TPU_INFRA.md fact 6) and the solve probe's
+    modules are identical run-to-run — caching makes the second attempt
+    (and the driver's run after this session's warm-up) skip them.
+    Harmless no-op if the backend doesn't support serialization."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/adflow_jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def _timeit(f, *args, reps: int = 3):
     import jax
 
@@ -287,7 +304,17 @@ def solve_bench(detail):
     in 119 iterations."""
     import jax
 
+    _enable_compile_cache()
     jax.config.update("jax_enable_x64", True)
+
+    t00 = time.perf_counter()
+
+    def log(msg):
+        # stderr breadcrumbs: a subprocess timeout surfaces the last phase
+        # reached in detail.solve_error instead of losing everything
+        print(f"# solve[{time.perf_counter() - t00:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     from adflow_tpu.api.solver import ADFLOW
     from adflow_tpu.core.refstate import AeroProblem
     from adflow_tpu.meshgen.analytic import wing_omesh
@@ -304,14 +331,17 @@ def solve_bench(detail):
         "NKSwitchTol": 1e-4,
         "printIterations": False,
         "printTiming": False,
-        "timeLimit": 480.0,   # give up cleanly; report achieved_rel
+        "timeLimit": 600.0,   # give up cleanly; report achieved_rel
     }
+    log("imports done, building solver (metrics + wall distance compile)")
     solver = ADFLOW(options=opts, mesh=mesh)
+    log("solver built, starting solve")
     ap = AeroProblem(name="m6b", mach=0.84, alpha=3.06, reynolds=11.72e6,
                      evalFuncs=["cl", "cd"])
     t0 = time.perf_counter()
     solver(ap)
     wall = time.perf_counter() - t0
+    log(f"solve returned after {wall:.0f}s")
     info = solver.solve_info
     funcs = {}
     solver.evalFunctions(ap, funcs)
@@ -337,6 +367,7 @@ def solve_bench(detail):
 def main():
     import jax
 
+    _enable_compile_cache()
     if PALLAS_PROBE:
         detail = {}
         residual_throughput(detail)
@@ -376,11 +407,13 @@ def main():
 
     # solve in its own subprocess: the remote-compile service flakes on
     # the large f64 modules and a failure must not poison the process.
-    # Budget: internal timeLimit 480 s + compile margin, hard cap 780 s.
+    # Budget: internal timeLimit 600 s + compile margin, hard cap 960 s
+    # (tunnel bad windows stall compiles for minutes; the persistent
+    # compile cache makes repeat runs skip them).
     try:
         pr = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--solve-probe"],
-            capture_output=True, text=True, timeout=780)
+            capture_output=True, text=True, timeout=960)
         for line in pr.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
