@@ -697,10 +697,22 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             # f32-floor handover: stall detection alone also fires on
             # physical plateau transients (transonic shock settling at
             # ~1e-1 rel) where the f64 Newton continuation would start
-            # from far too rough a state — require the residual to be at
-            # least 3 orders down (f32 floors sit at 1e-5..1e-6 rel)
-            if (mixed_data is not None and use_nk and stall_count >= 10
-                    and rnorm <= 1e-3 * r0):
+            # from far too rough a state — require the residual to be
+            # ~2 orders down first (the mixed phase starts as a
+            # pseudo-transient continuation, so a shock-settled state at
+            # 1e-2..1e-3 rel is a safe handover point; the f32 ANK's
+            # PC-limited wandering ceiling on transonic RANS sits there,
+            # measured on the M6 case)
+            if mixed_data is not None and use_nk and rnorm <= 1e-2 * r0:
+                # the f64-outer mixed phase is itself a pseudo-transient
+                # continuation (SER-ramped CFL from ~100), so it takes
+                # over as soon as the shock has settled (~1e-2 rel) —
+                # letting the f32 ANK keep marching past this point just
+                # burns budget wandering at its PC-limited ceiling
+                # (measured on the M6 case: 30+ iterations of creep
+                # between 1e-2 rel and the old stall-detected handover)
+                wvec = best_w if best_r < rnorm else wvec
+                rnorm = min(rnorm, best_r)
                 break
             if deadline is not None and _time.time() >= deadline:
                 break
@@ -765,7 +777,13 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             elif linres_f > lin_res_max:
                 cfl_cap = max(cfl * cutback, cfl_min)
                 cfl = max(cfl * cutback, cfl_min)
-            elif linres_f <= 1.5 * lintol:
+            elif linres_f <= lin_res_max:
+                # grow whenever the linear solve met ANKLinResMax —
+                # inexact Newton still contracts at linres ~0.1; gating
+                # growth on the much tighter lintol pinned the CFL at the
+                # PC's saturation point and turned transonic transients
+                # into thousand-iteration creeps (measured on the M6 f32
+                # case: CFL stuck ~20, 1%/iter)
                 cfl_cap = min(cfl_cap * 1.2, cfl_limit)
                 cfl = min(
                     float(opts["ANKCFL0"]) * (r_ank0 / max(rnorm, 1e-30))
@@ -794,10 +812,17 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         r64 = res64(w64)
         rnorm = float(jnp.linalg.norm(r64))
         r_mix0 = rnorm
-        # pseudo-transient continuation: start from a moderate CFL and let
-        # the SER ramp take it to effectively-Newton as the residual falls
-        cfl = max(float(opts["ANKCFL0"]) * 10.0, 100.0)
+        # pseudo-transient continuation: CONTINUE from the ANK phase's
+        # final CFL (the handover can happen as early as ~1e-2 rel, where
+        # a CFL-100 floor overruns the f32 PC and the phase flatlines —
+        # measured on the M6 case); fall back to a moderate start when no
+        # ANK phase ran
+        try:
+            cfl = max(float(cfl), 10.0)
+        except (NameError, UnboundLocalError):
+            cfl = max(float(opts["ANKCFL0"]) * 10.0, 100.0)
         cfl_max = 1e7
+        mixed_lin_res_max = max(float(opts["ANKLinResMax"]), 0.1)
         n_reject = 0
         lagged = _LaggedPC(fns, opts, "NK", "NKJacobianLag")
         while it < n_cycles and rnorm > target and not failed:
@@ -819,7 +844,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                 # zero Krylov progress — the f32 line PC loses its
                 # diagonal at extreme CFL): back the CFL off hard and
                 # force a PC rebuild at the new conditioning
-                cfl = max(cfl / 10.0, 100.0)
+                cfl = max(cfl / 10.0, 1.0)
                 lagged.data = None
                 n_reject += 1
                 if n_reject > 25:
@@ -848,10 +873,14 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                 continue
             n_reject = 0
             # accepted (mild growth allowed, pseudo-transient); geometric
-            # CFL ramp — an SER jump straight to the ceiling breaks the
-            # f32 PC (see breakdown branch)
+            # CFL ramp GATED on the linear solve doing its job — growing
+            # past the PC's saturation point just produces garbage Newton
+            # directions that the line search then rejects (flatline)
             w64, r64, rnorm = w_try, r_try, rn_try
-            cfl = min(cfl * 2.0, cfl_max)
+            if linres_f <= mixed_lin_res_max:
+                cfl = min(cfl * 2.0, cfl_max)
+            elif linres_f > 3.0 * mixed_lin_res_max:
+                cfl = max(cfl * cutback, 1.0)
             hist.append(np.array([[rnorm, 0.0]]))
             _mon(it, rnorm, 0.0, cfl=cfl, linres=float(linres),
                  itertype="NK64")

@@ -11,6 +11,10 @@ from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.integrations.mphys import ADflowBuilder, ImplicitCFDAdapter
 from adflow_tpu.meshgen.analytic import channel_mesh, naca0012_omesh
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 OPTS = {"equationType": "euler", "useANKSolver": False, "useNKSolver": False,
         "nCycles": 400, "CFL": 1.0, "L2Convergence": 1e-8,
         "printIterations": False, "printTiming": False}

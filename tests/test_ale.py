@@ -17,6 +17,12 @@ from adflow_tpu.physics.residual import (
     ProblemConfig, build_topology, residual_list)
 
 
+import pytest
+
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 def _fs_residual(mesh, omega, center, vtrans):
     topo = build_topology(mesh)
     cfg = ProblemConfig(equation_type="euler", vis2=0.25, vis4=1 / 64,

@@ -24,6 +24,10 @@ from adflow_tpu.solvers.amg import (_pool, _prolong, amg_pc_apply,
                                     stencil_transpose)
 
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def stencil_setup():
     mesh = naca0012_omesh(ni=48, nj=16)

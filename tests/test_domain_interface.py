@@ -11,6 +11,10 @@ from adflow_tpu.core.mesh import (BCSubface, BCType, Block, Face,
 from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import channel_mesh
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 OPTS = {"equationType": "euler", "useANKSolver": True,
         "useNKSolver": False, "nCycles": 250, "L2Convergence": 1e-6,
         "printIterations": False, "printTiming": False}

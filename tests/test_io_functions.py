@@ -14,6 +14,10 @@ from adflow_tpu.core.mesh import BCSubface, BCType, Face
 from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import channel_mesh, naca0012_omesh
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 OPTS = {"equationType": "euler", "useANKSolver": False, "useNKSolver": False,
         "nCycles": 25, "printIterations": False, "printTiming": False}
 

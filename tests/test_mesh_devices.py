@@ -16,6 +16,10 @@ from adflow_tpu.api.solver import ADFLOW
 from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import cube_mesh, naca0012_omesh
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 BASE = {"equationType": "euler", "useANKSolver": True,
         "useNKSolver": False, "nCycles": 220, "L2Convergence": 1e-6,
         "printIterations": False, "printTiming": False}

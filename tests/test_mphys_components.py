@@ -18,6 +18,10 @@ from adflow_tpu.core.refstate import AeroProblem           # noqa: E402
 from adflow_tpu.integrations.mphys import ADflowBuilder    # noqa: E402
 from adflow_tpu.meshgen.analytic import naca0012_omesh     # noqa: E402
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 OPTS = {"equationType": "euler", "nCycles": 300,
         "L2Convergence": 1e-10, "useNKSolver": True, "NKSwitchTol": 1e-3,
         "printIterations": False, "printTiming": False}

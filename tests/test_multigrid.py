@@ -9,6 +9,10 @@ from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import naca0012_omesh
 from adflow_tpu.solvers.multigrid import coarsen_mesh, parse_mg_cycle
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 BASE = {
     "equationType": "euler",
     "useANKSolver": False,

@@ -18,6 +18,12 @@ from adflow_tpu.core.mesh import (BCSubface, BCType, Block, Face,
 from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import channel_mesh
 
+import pytest
+
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 
 def _two_inflow_channel(ni=32, nj=16, nk=4):
     """Channel whose inflow face is split into two families (lower/upper

@@ -25,6 +25,10 @@ from adflow_tpu.meshgen.analytic import wing_omesh
 from adflow_tpu.physics.residual import ProblemConfig, build_topology
 from adflow_tpu.solvers.smoothers import rk_iteration
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 N_SHARDS = 4
 N_ITERS = 3
 

@@ -15,6 +15,10 @@ from adflow_tpu.api.solver import ADFLOW
 from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import naca0012_omesh
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 BASE_OPTS = {
     "equationType": "euler",
     "useANKSolver": True,

@@ -16,6 +16,10 @@ from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import cube_mesh, flatplate_mesh
 from adflow_tpu.physics.residual import fill_halos
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 OPTS = {
     "equationType": "RANS",
     "ANKSwitchTol": 1.5,

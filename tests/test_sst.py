@@ -9,6 +9,10 @@ from adflow_tpu.api.solver import ADFLOW
 from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import cube_mesh, flatplate_mesh
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 
 def test_sst_freestream_meanflow_consistency():
     """Mean-flow residual of uniform free stream must vanish with SST

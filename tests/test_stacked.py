@@ -25,6 +25,10 @@ from adflow_tpu.physics.residual import (
     ProblemConfig, build_topology, fill_halos, residual_list)
 from adflow_tpu.solvers.smoothers import rk_iteration
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 
 def _setup(equation_type="euler"):
     viscous = equation_type != "euler"

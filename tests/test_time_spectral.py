@@ -10,6 +10,10 @@ from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import naca0012_omesh
 from adflow_tpu.solvers.timespectral import spectral_deriv_matrix
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 
 def test_spectral_matrix_exact_on_harmonics():
     """D differentiates sin/cos exactly at collocation points."""

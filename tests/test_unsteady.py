@@ -10,6 +10,10 @@ from adflow_tpu.api.solver import ADFLOW
 from adflow_tpu.core.refstate import AeroProblem
 from adflow_tpu.meshgen.analytic import cube_mesh
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 OPTS = {
     "equationType": "euler",
     "equationMode": "unsteady",

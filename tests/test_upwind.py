@@ -12,6 +12,10 @@ from adflow_tpu.meshgen.analytic import naca0012_omesh
 from adflow_tpu.physics.residual import ProblemConfig, build_topology, residual_list
 from adflow_tpu.geom.metrics import compute_metrics
 
+# full solves / heavy regression: excluded from the fast tier
+# (run the complete suite with plain `pytest tests/`)
+pytestmark = pytest.mark.slow
+
 OPTS = {
     "equationType": "euler",
     "discretization": "upwind",

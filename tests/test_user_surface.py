@@ -52,6 +52,7 @@ def test_uniform_freestream_mdot():
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_channel_mass_conservation():
     """Converged subsonic channel: mdot through an interior plane matches
     the inflow-family mass flow (conic-nozzle regression concept)."""
@@ -85,6 +86,7 @@ def test_channel_mass_conservation():
                                rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_user_surface_adjoint_gradient():
     """User-surface functions work as adjoint objectives: d(mdot)/d(alpha)
     via evalFunctionsSens matches finite differences."""

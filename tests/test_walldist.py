@@ -66,3 +66,46 @@ def test_f32_near_wall_no_collapse():
     assert dmin > 1e-8, f"near-wall distance collapsed: {dmin}"
     # and the interior maximum is the farfield scale
     assert float(d.max()) > 1.0
+
+
+def test_approx_update_tracks_deformation():
+    """useApproxWallDistance fast path (reference:
+    updateWallDistancesQuickly, wallDistance.F90:36): after a smooth mesh
+    deformation, re-projecting onto the STORED nearest elements matches a
+    full re-search wherever the nearest element didn't change."""
+    import numpy as np
+    from adflow_tpu.geom.walldist import (compute_wall_distances,
+                                          update_wall_distances)
+    from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+    mesh = naca0012_omesh(ni=48, nj=16)
+    x0 = [jnp.asarray(b.x) for b in mesh.blocks]
+    d0, assoc = compute_wall_distances(mesh, x0, x0[0].dtype,
+                                       return_assoc=True)
+    # smooth vertical bend of the whole mesh (wall moves with it)
+    x1 = [x.at[..., 1].add(0.05 * jnp.sin(x[..., 0])) for x in x0]
+    d_fast = update_wall_distances(mesh, x1, assoc, x0[0].dtype)
+    d_full = compute_wall_distances(mesh, x1, x0[0].dtype)
+    rel = np.abs(np.asarray(d_fast[0]) - np.asarray(d_full[0])) / (
+        np.asarray(d_full[0]) + 1e-12)
+    # near-identical for the near-wall rows (the rows SA cares about);
+    # cells whose nearest element changed under the bend carry the
+    # documented approximation error of the quick path
+    near = np.asarray(d_full[0]) < 0.5
+    assert rel[near].max() < 5e-3, rel[near].max()
+    assert np.median(rel) < 1e-6
+
+
+def test_wall_dist_cutoff():
+    """wallDistCutoff: distances beyond the cutoff become the large
+    constant (doc/options.yaml:333)."""
+    import numpy as np
+    from adflow_tpu.geom.walldist import FAR_DIST, compute_wall_distances
+    from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+    mesh = naca0012_omesh(ni=32, nj=12)
+    x0 = [jnp.asarray(b.x) for b in mesh.blocks]
+    d = compute_wall_distances(mesh, x0, x0[0].dtype, cutoff=1.0)[0]
+    d = np.asarray(d)
+    assert (d > 1.0).any()
+    assert np.all((d <= 1.0) | (d == FAR_DIST))
