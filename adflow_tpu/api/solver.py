@@ -840,8 +840,8 @@ class ADFLOW:
         self.w_list = w_c
 
     def _mixed_data(self):
-        """f64 companions for the mixed-precision NK phase
-        (precision='mixed', solvers/newton.py make_mixed_nk): metrics are
+        """f64 companions for the mixed-precision endgame
+        (precision='mixed', solvers/newton.py f64 continuation): metrics are
         recomputed from the ORIGINAL f64 node coordinates — upcasting the
         f32 metrics would put an ~1e-7 flux-closure floor on the f64
         residual itself."""

@@ -478,69 +478,6 @@ def make_nk_step(fns: NewtonFns, opts):
     return nk_step
 
 
-# ---------------------------------------------------------------------------
-# mixed-precision NK: f32 Jacobian/PC/Krylov, f64 outer residual
-# ---------------------------------------------------------------------------
-
-def make_mixed_nk(fns: NewtonFns, fns64: NewtonFns, opts):
-    """Mixed-precision Newton pieces (iterative-refinement structure).
-
-    f32 cannot converge the residual past its own evaluation noise
-    (~1e-5 relative, bench.py r01-r03 floor), and full-f64 on TPU is
-    emulated and 10-30x slower per eval. Classic mixed-precision Newton
-    splits the work: the EXPENSIVE inner pieces (Jacobian-vector products,
-    line PC, GMRES — thousands of residual-sized ops) run in f32; only the
-    OUTER residual (one eval per step + line-search checks) runs in f64.
-    The step dw needs just ~lintol relative accuracy for inexact Newton,
-    so the f32 solve does not limit the attainable residual — the f64
-    state update w64 += alpha*dw carries the tail digits (at 1e-8 relative
-    residual the step is below f32 state resolution, which is exactly why
-    the state must live in f64). Convergence per step ~ lintol + O(eps32),
-    i.e. 1-2 orders/step down to the f64 floor.
-    """
-    m = int(opts["NKSubspaceSize"])
-    turb_cfl_scale = float(opts["ANKTurbCFLScale"])
-
-    res64 = jax.jit(fns64.res_flat)
-
-    @jax.jit
-    def lin_solve(w32, rhs32, eta, cfl, pc_data):
-        """Pseudo-transient mixed step: solve (D/cfl + J) dw = rhs in f32.
-
-        The handover from f32 ANK can happen mid-transient (the stall
-        detector cannot distinguish the f32 noise floor from a physical
-        plateau), where a pure Newton system is unsolvable (measured:
-        GMRES linres 1.0); the pseudo-time diagonal with an SER-ramped CFL
-        makes the mixed phase a seamless continuation of ANK that
-        asymptotes to pure Newton as the f64 residual falls.
-        """
-        _, rs_list = fns.rad_sum_cells(w32)
-        chan = jnp.ones((fns.packer.nw,), w32.dtype)
-        if fns.row_scale_vec is not None:
-            chan = chan * fns.row_scale_vec
-        if turb_cfl_scale != 1.0 and fns.packer.nw > 5:
-            chan = chan.at[5:].divide(turb_cfl_scale)
-        diag = fns.packer.pack([
-            jnp.broadcast_to((rs / cfl)[..., None],
-                             rs.shape + (fns.packer.nw,)) * chan
-            for rs in rs_list])
-
-        def matvec(v):
-            _, jv = jax.jvp(fns.res_flat, (w32,), (v,))
-            return diag * v + jv
-
-        def precond(v):
-            return pc_apply_vec(pc_data, fns.packer, v)
-
-        sol = gmres(matvec, rhs32, m=m, restarts=2, tol=eta,
-                    precond=precond)
-        alpha0 = physicality_alpha(w32, sol.x, fns.packer)
-        return (sol.x, alpha0, sol.iters,
-                sol.res_norm / jnp.maximum(sol.b_norm, 1e-30))
-
-    return res64, lin_solve
-
-
 class _LaggedPC:
     """Jacobian/PC lagging (reference: NKJacobianLag / ANKJacobianLag /
     ANKPCUpdateTol, NKSolvers.F90:372,559): rebuild the per-block PC data
@@ -673,7 +610,11 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
         lin_res_max = float(opts["ANKLinResMax"])
         lintol = float(opts["ANKLinearSolveTol"])
         unsteady_ls_tol = float(opts["ANKUnsteadyLSTol"])
-        r_ank0 = rnorm
+        # SER anchor = the FREE-STREAM residual scale r0, not the phase
+        # entry residual: a warm-started ANK (the f64 continuation of a
+        # mixed solve) would otherwise rebase SER to its tiny entry
+        # residual and cap its own CFL near ANKCFL0 forever
+        r_ank0 = max(rnorm, r0)
         n_reject = 0
         # learned CFL ceiling: when the linear solver fails at CFL X, the
         # SER target is beyond what the preconditioner supports — cap
@@ -793,102 +734,34 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             else:
                 cfl_cap = min(cfl_cap * 1.05, cfl_limit)
 
-    # ---- NK phase, mixed precision (f64 outer residual) ----
+    # ---- f64 continuation phase (precision='mixed') ----
     if (use_nk and not failed and rnorm > target
             and mixed_data is not None):
+        # The f32 phases hand over once the transient is settled (~1e-2
+        # rel, their PC-limited ceiling); the ENDGAME then re-enters this
+        # same driver in full float64 — f64 ANK re-ramps and the f64 NK
+        # finishes to the deep target, i.e. exactly the machinery the f64
+        # regression tests validate, warm-started from the f32 state.
+        # (An f32-Krylov/f64-outer "iterative refinement" NK was tried
+        # first and is fundamentally blocked here: the f32 line PC makes
+        # ZERO Krylov progress on the undamped Newton system — measured
+        # linres 1.0 — and pseudo-transient f32 solves wander at the same
+        # ceiling as the f32 ANK. On TPU the f64 endgame runs emulated:
+        # slower per eval, but it converges.)
         metrics64, winf64, extras64 = mixed_data
-        w64_templates = [
-            jnp.broadcast_to(winf64, w.shape).astype(jnp.float64)
-            for w in w_list]
-        fns64 = build_newton_fns(w64_templates, metrics64, topo, cfg, ref,
-                                 winf64, extras64)
-        res64, lin_solve = make_mixed_nk(fns, fns64, opts)
-        eta_max = float(opts["NKLinearSolveTol"])
-        use_ew = bool(opts["NKUseEW"])
-        ew_exp = float(opts["NKEWRTolExponent"])
-        cutback = float(opts["ANKCFLCutback"])
-        eta = eta_max
-        w64 = jnp.asarray(wvec, jnp.float64)
-        r64 = res64(w64)
-        rnorm = float(jnp.linalg.norm(r64))
-        r_mix0 = rnorm
-        # pseudo-transient continuation: CONTINUE from the ANK phase's
-        # final CFL (the handover can happen as early as ~1e-2 rel, where
-        # a CFL-100 floor overruns the f32 PC and the phase flatlines —
-        # measured on the M6 case); fall back to a moderate start when no
-        # ANK phase ran
-        try:
-            cfl = max(float(cfl), 10.0)
-        except (NameError, UnboundLocalError):
-            cfl = max(float(opts["ANKCFL0"]) * 10.0, 100.0)
-        cfl_max = 1e7
-        mixed_lin_res_max = max(float(opts["ANKLinResMax"]), 0.1)
-        n_reject = 0
-        lagged = _LaggedPC(fns, opts, "NK", "NKJacobianLag")
-        while it < n_cycles and rnorm > target and not failed:
-            if deadline is not None and _time.time() >= deadline:
-                break
-            if signal_check is not None and signal_check(
-                    lambda: fns.packer.unpack_into(
-                        w64.astype(dtype), w_list)) == "stop":
-                break
-            w32 = w64.astype(dtype)
-            dx32, alpha0, kiters, linres = lin_solve(
-                w32, (-r64).astype(dtype), jnp.asarray(eta, dtype),
-                jnp.asarray(cfl, dtype),
-                lagged.get(it, w32, rnorm, cfl))
-            it += 1
-            linres_f = float(linres)
-            if not np.isfinite(linres_f) or linres_f > 0.9:
-                # linear-solve breakdown (measured signature: linres -> 1,
-                # zero Krylov progress — the f32 line PC loses its
-                # diagonal at extreme CFL): back the CFL off hard and
-                # force a PC rebuild at the new conditioning
-                cfl = max(cfl / 10.0, 1.0)
-                lagged.data = None
-                n_reject += 1
-                if n_reject > 25:
-                    failed = True
-                continue
-            dx64 = jnp.asarray(dx32, jnp.float64)
-            alpha = float(alpha0)
-            r_prev = rnorm
-            rn_try = float("nan")
-            for _ in range(4):           # f64 backtracking line search
-                w_try = w64 + alpha * dx64
-                r_try = res64(w_try)
-                rn_try = float(jnp.linalg.norm(r_try))
-                if np.isfinite(rn_try) and rn_try <= rnorm:
-                    break
-                alpha *= 0.5
-            if not np.isfinite(rn_try):
-                failed = True
-                break
-            if rn_try > 1.5 * rnorm:
-                # step rejected: the CFL outran the linear solver/physics
-                cfl = max(cfl * cutback, 1.0)
-                n_reject += 1
-                if n_reject > 25:
-                    failed = True
-                continue
-            n_reject = 0
-            # accepted (mild growth allowed, pseudo-transient); geometric
-            # CFL ramp GATED on the linear solve doing its job — growing
-            # past the PC's saturation point just produces garbage Newton
-            # directions that the line search then rejects (flatline)
-            w64, r64, rnorm = w_try, r_try, rn_try
-            if linres_f <= mixed_lin_res_max:
-                cfl = min(cfl * 2.0, cfl_max)
-            elif linres_f > 3.0 * mixed_lin_res_max:
-                cfl = max(cfl * cutback, 1.0)
-            hist.append(np.array([[rnorm, 0.0]]))
-            _mon(it, rnorm, 0.0, cfl=cfl, linres=float(linres),
-                 itertype="NK64")
-            if use_ew:
-                eta = min(eta_max,
-                          0.9 * (rnorm / max(r_prev, 1e-300)) ** ew_exp)
-                eta = max(eta, 1e-6)
-        wvec = w64.astype(dtype)
+        w_list64 = [jnp.asarray(w, jnp.float64)
+                    for w in fns.packer.unpack_into(wvec, w_list)]
+        w_list64, info64 = solve_newton_driver(
+            w_list64, metrics64, topo, cfg, ref,
+            jnp.asarray(winf64, jnp.float64), opts,
+            extras_list=extras64, monitor=monitor, deadline=deadline,
+            signal_check=signal_check, mixed_data=None)
+        wvec = fns.packer.pack_w([w.astype(dtype) for w in w_list64])
+        it += info64.iterations
+        rnorm = info64.total_r_final
+        failed = info64.failed
+        if len(info64.history):
+            hist.append(info64.history)
 
     # ---- NK phase ----
     elif use_nk and not failed and rnorm > target:
