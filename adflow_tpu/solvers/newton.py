@@ -735,8 +735,13 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
                 cfl_cap = min(cfl_cap * 1.05, cfl_limit)
 
     # ---- f64 continuation phase (precision='mixed') ----
+    # deadline guard: the phase's first act is compiling the f64 modules
+    # (on TPU: EMULATED f64, potentially minutes on a bad tunnel window)
+    # and a compile cannot be interrupted — do not even start it unless
+    # a meaningful slice of the time budget remains
     if (use_nk and not failed and rnorm > target
-            and mixed_data is not None):
+            and mixed_data is not None
+            and (deadline is None or _time.time() < deadline - 60.0)):
         # The f32 phases hand over once the transient is settled (~1e-2
         # rel, their PC-limited ceiling); the ENDGAME then re-enters this
         # same driver in full float64 — f64 ANK re-ramps and the f64 NK

@@ -320,68 +320,48 @@ def solve_bench(detail):
     from adflow_tpu.meshgen.analytic import flatplate_mesh, wing_omesh
 
     out = {}
+    detail["solve"] = out
 
-    # --- probe 1: the BASELINE.md north-star case, reported honestly ---
-    # transonic M6-class wing. The f32 ANK settles the shock and drives
-    # ~1.5 orders; the f64 continuation then works the endgame. On this
-    # COARSE (24k-cell) wing the pseudo-transient orbits a limit set near
-    # ~4e-3 rel (believed physical: blunt-tip/wake-cut unsteadiness at
-    # this resolution), so achieved_rel is recorded as-is.
-    ni, nj, nk = 64, 24, 16
-    mesh = wing_omesh(ni=ni, nj=nj, nk=nk, viscous=True)
+    # --- probe 1: deep convergence on hardware (CPPH anchor) ---
+    # turbulent flat plate (the validated deep-convergence case): the
+    # mixed pipeline (f32 ANK -> f64 ANK/NK continuation) to 1e-8 REL;
+    # CPPH = cells * 3600 / wall on achieving it (reference bar: >1e6 per
+    # CPU proc at 8 orders, doc/performance.rst:39-52). Runs FIRST: its
+    # f64 modules are the smallest, so it fits the compile budget, and
+    # its number (deep convergence ON CHIP) matters most.
+    # DYNAMIC budgets: tunnel compile stalls (100-400 s/module,
+    # NOTES_TPU_INFRA fact 6/14) ate fixed per-case timeLimits before the
+    # first iteration could run; instead each case gets whatever remains
+    # of the subprocess budget (960 s cap in main()) minus a reporting
+    # margin, so compile-stall time is not double-charged
+    BUDGET = 860.0
+
+    def remaining():
+        return BUDGET - (time.perf_counter() - t00)
+
     opts = {
         "equationType": "RANS",
         "precision": "mixed",
         "L2Convergence": 1e-8,
         "nCycles": 400,
-        "ANKSwitchTol": 1.0,
+        "ANKSwitchTol": 1.5,
         "useNKSolver": True,
         "NKSwitchTol": 1e-4,
         "printIterations": False,
         "printTiming": False,
         "timeLimit": 240.0,
     }
-    log("probe 1 (transonic M6 wing): building solver")
-    solver = ADFLOW(options=opts, mesh=mesh)
-    log("probe 1: solver built, solving")
-    ap = AeroProblem(name="m6b", mach=0.84, alpha=3.06, reynolds=11.72e6,
-                     evalFuncs=["cl", "cd"])
-    t0 = time.perf_counter()
-    solver(ap)
-    wall = time.perf_counter() - t0
-    log(f"probe 1: solve returned after {wall:.0f}s")
-    info = solver.solve_info
-    funcs = {}
-    solver.evalFunctions(ap, funcs)
-    rel = info.total_r_final / max(info.total_r0, 1e-300)
-    out["transonic_m6"] = {
-        "n_cells": mesh.n_cells,
-        "case": "M6-class transonic RANS wing, M 0.84 a 3.06 Re 11.7e6",
-        "target_rel": 1e-8,
-        "achieved_rel": float(f"{rel:.3e}"),
-        "converged": bool(info.converged),
-        "seconds": round(wall, 1),
-        "iterations": int(info.iterations),
-        "cl": round(float(funcs["m6b_cl"]), 6),
-        "cd": round(float(funcs["m6b_cd"]), 6),
-        "dtype": "mixed (f32 ANK + f64 ANK/NK continuation)",
-    }
-
-    # --- probe 2: deep convergence on hardware (CPPH anchor) ---
-    # turbulent flat plate (the validated deep-convergence case): mixed
-    # pipeline to 1e-8 REL; CPPH = cells * 3600 / wall on achieving it
-    # (reference bar: >1e6 per CPU proc at 8 orders,
-    # doc/performance.rst:39-52).
-    log("probe 2 (turbulent flat plate deep convergence): building")
+    log("probe 1 (turbulent flat plate deep convergence): building")
     mesh2 = flatplate_mesh(ni=48, nj=48, wall_spacing=2e-5, height=0.5)
-    opts2 = dict(opts, ANKSwitchTol=1.5, timeLimit=240.0)
-    s2 = ADFLOW(options=opts2, mesh=mesh2)
+    opts["timeLimit"] = max(remaining() - 120.0, 60.0)
+    s2 = ADFLOW(options=opts, mesh=mesh2)
+    log("probe 1: solver built, solving")
     ap2 = AeroProblem(name="fp", mach=0.3, alpha=0.0, reynolds=2e6,
                       evalFuncs=["cd"])
     t0 = time.perf_counter()
     s2(ap2)
     wall2 = time.perf_counter() - t0
-    log(f"probe 2: solve returned after {wall2:.0f}s")
+    log(f"probe 1: solve returned after {wall2:.0f}s")
     info2 = s2.solve_info
     rel2 = info2.total_r_final / max(info2.total_r0, 1e-300)
     f2 = {}
@@ -397,9 +377,49 @@ def solve_bench(detail):
         "iterations": int(info2.iterations),
         "cpph": int(cpph),
         "cd": round(float(f2["fp_cd"]), 8),
+        "dtype": "mixed (f32 ANK + f64 ANK/NK continuation)",
         "ref_cpph_per_proc": 1_000_000,
     }
-    detail["solve"] = out
+    print(json.dumps(out), flush=True)   # partial result survives a cap
+
+    # --- probe 2: the BASELINE.md north-star case, reported honestly ---
+    # transonic M6-class wing, f32 (the f64 continuation does not help
+    # here: this COARSE 24k-cell wing orbits a limit set near ~4e-3 rel —
+    # believed physical blunt-tip/wake-cut unsteadiness at this
+    # resolution — so achieved_rel is recorded as-is and f32 keeps the
+    # TPU compile surface small).
+    if remaining() < 300.0:
+        log("probe 2 skipped: budget consumed by compile stalls")
+        return cpph
+    ni, nj, nk = 64, 24, 16
+    mesh = wing_omesh(ni=ni, nj=nj, nk=nk, viscous=True)
+    opts1 = dict(opts, precision="float32", ANKSwitchTol=1.0,
+                 timeLimit=max(remaining() - 160.0, 60.0))
+    log("probe 2 (transonic M6 wing): building solver")
+    solver = ADFLOW(options=opts1, mesh=mesh)
+    log("probe 2: solver built, solving")
+    ap = AeroProblem(name="m6b", mach=0.84, alpha=3.06, reynolds=11.72e6,
+                     evalFuncs=["cl", "cd"])
+    t0 = time.perf_counter()
+    solver(ap)
+    wall = time.perf_counter() - t0
+    log(f"probe 2: solve returned after {wall:.0f}s")
+    info = solver.solve_info
+    funcs = {}
+    solver.evalFunctions(ap, funcs)
+    rel = info.total_r_final / max(info.total_r0, 1e-300)
+    out["transonic_m6"] = {
+        "n_cells": mesh.n_cells,
+        "case": "M6-class transonic RANS wing, M 0.84 a 3.06 Re 11.7e6",
+        "target_rel": 1e-8,
+        "achieved_rel": float(f"{rel:.3e}"),
+        "converged": bool(info.converged),
+        "seconds": round(wall, 1),
+        "iterations": int(info.iterations),
+        "cl": round(float(funcs["m6b_cl"]), 6),
+        "cd": round(float(funcs["m6b_cd"]), 6),
+        "dtype": "float32 (ANK; limit-cycle floor documented)",
+    }
     return cpph
 
 
@@ -453,14 +473,26 @@ def main():
         pr = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--solve-probe"],
             capture_output=True, text=True, timeout=960)
-        for line in pr.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                detail["solve"] = json.loads(line)
-                break
+        # LAST JSON line wins: the probe prints a partial result after
+        # each case so a timeout mid-probe still reports what finished
+        json_lines = [ln.strip() for ln in pr.stdout.splitlines()
+                      if ln.strip().startswith("{")]
+        if json_lines:
+            detail["solve"] = json.loads(json_lines[-1])
         else:
             detail["solve_error"] = (pr.stderr.strip()[-200:]
                                      or f"rc={pr.returncode}")
+    except subprocess.TimeoutExpired as e:
+        so = e.stdout or b""
+        if isinstance(so, bytes):
+            so = so.decode("utf-8", "replace")
+        json_lines = [ln.strip() for ln in so.splitlines()
+                      if ln.strip().startswith("{")]
+        if json_lines:
+            detail["solve"] = json.loads(json_lines[-1])
+            detail["solve"]["note"] = "subprocess cap hit after this case"
+        else:
+            detail["solve_error"] = str(e)[:200]
     except Exception as e:
         detail["solve_error"] = str(e)[:200]
     # Mosaic-kernel variants in a throwaway subprocess (fault isolation)

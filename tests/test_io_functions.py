@@ -35,10 +35,12 @@ def quick_solve(tmp_path_factory):
 def test_write_and_restart_roundtrip(quick_solve, tmp_path):
     s, ap = quick_solve
     s.writeSolution(outputDir=str(tmp_path), baseName="t")
-    assert (tmp_path / "t_vol.cgns").exists()
-    assert (tmp_path / "t_surf.dat").exists()
+    # numberSolutions (reference default True) appends the per-AP call
+    # counter padded to writeSolutionDigits
+    assert (tmp_path / "t_000_vol.cgns").exists()
+    assert (tmp_path / "t_000_surf.dat").exists()
 
-    s2 = ADFLOW(options=dict(OPTS, restartFile=str(tmp_path / "t_vol.cgns")),
+    s2 = ADFLOW(options=dict(OPTS, restartFile=str(tmp_path / "t_000_vol.cgns")),
                 mesh=naca0012_omesh(ni=48, nj=16))
     s2.setAeroProblem(ap)
     np.testing.assert_allclose(np.asarray(s2.getStates()),
@@ -128,7 +130,7 @@ def test_output_variable_menus(tmp_path):
                      T=288.15)
     solver(ap)
     solver.writeSolution()
-    with h5py.File(tmp_path / "mn_vol.cgns", "r") as f:
+    with h5py.File(tmp_path / "mn_000_vol.cgns", "r") as f:
         assert "GlobalConvergenceHistory" in f["Base"]
         zone = [k for k in f["Base"]
                 if isinstance(f["Base"][k], h5py.Group)
@@ -137,7 +139,7 @@ def test_output_variable_menus(tmp_path):
         for name in ("Density", "Pressure", "ResidualDensity",
                      "Temperature"):
             assert name in sol, list(sol)
-    hdr = open(tmp_path / "mn_surf.dat").readlines()[1]
+    hdr = open(tmp_path / "mn_000_surf.dat").readlines()[1]
     for name in ("Cp", "Cf", "YPlus", "VelocityX"):
         assert name in hdr
 
