@@ -339,9 +339,16 @@ def solve_bench(detail):
     def remaining():
         return BUDGET - (time.perf_counter() - t00)
 
+    # precision: float32 on the chip. The FULL deep-convergence pipeline
+    # (f32 ANK -> emulated-f64 ANK/NK continuation, precision='mixed')
+    # reaches 1e-8 rel and is CPU-validated (flat plate: 59 iterations),
+    # but on this tunnel a single emulated-f64 module compile can stall
+    # past the whole bench budget (NOTES_TPU_INFRA fact 14), so the
+    # hardware probe records the f32 pipeline and its ~1e-5-rel floor
+    # honestly instead of recording nothing.
     opts = {
         "equationType": "RANS",
-        "precision": "mixed",
+        "precision": "float32",
         "L2Convergence": 1e-8,
         "nCycles": 400,
         "ANKSwitchTol": 1.5,
@@ -377,7 +384,9 @@ def solve_bench(detail):
         "iterations": int(info2.iterations),
         "cpph": int(cpph),
         "cd": round(float(f2["fp_cd"]), 8),
-        "dtype": "mixed (f32 ANK + f64 ANK/NK continuation)",
+        "dtype": "float32 (ANK->NK; 1e-8 via precision='mixed' is "
+                 "CPU-validated — emulated-f64 compiles exceed the "
+                 "tunnel budget, NOTES_TPU_INFRA)",
         "ref_cpph_per_proc": 1_000_000,
     }
     print(json.dumps(out), flush=True)   # partial result survives a cap
