@@ -131,6 +131,20 @@ def build_adjoint_fns(solver) -> AdjointFns:
         x_list = unpack_x(xvec)
         from adflow_tpu.geom.metrics import compute_metrics_conn
         metrics_list = compute_metrics_conn(mesh_blocks, x_list)
+        if ("rotRate" in params) or ("machGrid" in params):
+            # traced rigid grid motion: the SAME face velocities the primal
+            # attaches (setAeroProblem), but as functions of the rotation
+            # rate/center and machGrid DVs (reference extra-DV set rotx..
+            # rotcenz/machgrid, pyADflow.py:6447-6457; velocities from
+            # gridVelocitiesFineLevel, solverUtils.F90:358,414)
+            from adflow_tpu.geom.metrics import add_grid_motion
+            zero3 = jnp.zeros(3, dtype)
+            om = params.get("rotRate", zero3)          # pre-nondim by a_inf
+            ctr = params.get("rotCenter", zero3)
+            mg = params.get("machGrid", jnp.zeros((), dtype))
+            vt = -mg * ref.vel_dir
+            metrics_list = [add_grid_motion(m, xx, om, ctr, vt)
+                            for m, xx in zip(metrics_list, x_list)]
         w_list = []
         template_shapes = [tuple(d + 4 for d in bs.dims) + (packer.nw,)
                            for bs in topo.blocks]

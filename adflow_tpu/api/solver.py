@@ -267,12 +267,18 @@ class ADFLOW:
         # rigid grid motion (reference: gridVelocitiesFineLevel from the
         # AeroProblem rotation rates, solverUtils.F90:358): attach ALE face
         # velocities to the metrics; omega nondim by a_inf (grid in meters)
-        if getattr(ap, "rotRate", None) is not None:
+        mach_grid = float(getattr(ap, "machGrid", 0.0) or 0.0)
+        if getattr(ap, "rotRate", None) is not None or mach_grid != 0.0:
             import numpy as _np
             from adflow_tpu.geom.metrics import add_grid_motion
-            om = _np.asarray(ap.rotRate, float) / ap.a_dim
+            om = (_np.asarray(ap.rotRate, float) / ap.a_dim
+                  if ap.rotRate is not None else _np.zeros(3))
+            # machGrid: uniform grid translation opposite the freestream
+            # direction (reference: solverUtils.F90:414, velGrid =
+            # -machGrid*aInf*velDir); nondim by a_inf
+            vtrans = -mach_grid * _np.asarray(self.ref.vel_dir, float)
             self.metrics_list = [
-                add_grid_motion(m, x, om, ap.rotCenter)
+                add_grid_motion(m, x, om, ap.rotCenter, vtrans)
                 for m, x in zip(self._metrics_base, self.x_list)]
         else:
             self.metrics_list = list(self._metrics_base)
@@ -1587,6 +1593,17 @@ class ADFLOW:
                                    self.dtype)}
         if ap.reynolds and ap.reynolds > 0:
             out["reynolds"] = jnp.asarray(ap.reynolds, self.dtype)
+        # grid-motion DVs (reference rotx..rotcenz/machgrid,
+        # pyADflow.py:6447-6457): rotRate carried NONDIM (rad/s / a_inf,
+        # matching the primal's metrics attach); evalFunctionsSens converts
+        # the gradient back to per-(rad/s)
+        if getattr(ap, "rotRate", None) is not None:
+            import numpy as _np
+            out["rotRate"] = jnp.asarray(
+                _np.asarray(ap.rotRate, float) / ap.a_dim, self.dtype)
+            out["rotCenter"] = jnp.asarray(ap.rotCenter, self.dtype)
+        if float(getattr(ap, "machGrid", 0.0) or 0.0) != 0.0:
+            out["machGrid"] = jnp.asarray(ap.machGrid, self.dtype)
         return out
 
     def _wx_vecs(self):
@@ -1652,12 +1669,29 @@ class ADFLOW:
                 "beta": float(gI_p["beta"] - gR_p["beta"]),
                 "mach": float(gI_p["mach"] - gR_p["mach"]),
                 "T": float(gI_p["T"] - gR_p["T"]),
+                "P": float(gI_p["P"] - gR_p["P"]),
                 "xref": np.asarray(gI_p["xref"] - gR_p["xref"]),
                 "xv": np.asarray(gI_x - gR_x),
             }
+            # freestream-density DV (reference iDV['rho'],
+            # pyADflow.py:6451): our thermodynamic pair is (P, T) with
+            # rho = P/(R T) — the rho total at constant T follows by the
+            # gas-law chain dI/drho|_T = R T dI/dP
+            from adflow_tpu.core.refstate import R_GAS
+            sens["rho"] = R_GAS * ap.T * sens["P"]
             if "reynolds" in params:
                 sens["reynolds"] = float(gI_p["reynolds"]
                                          - gR_p["reynolds"])
+            if "rotRate" in params:
+                # gradients taken w.r.t. the nondim rate (rad/s / a_inf);
+                # report per-(rad/s) like the reference rotx/roty/rotz DVs
+                sens["rotRate"] = np.asarray(
+                    gI_p["rotRate"] - gR_p["rotRate"]) / ap.a_dim
+                sens["rotCenter"] = np.asarray(
+                    gI_p["rotCenter"] - gR_p["rotCenter"])
+            if "machGrid" in params:
+                sens["machGrid"] = float(gI_p["machGrid"]
+                                         - gR_p["machGrid"])
             funcsSens[f"{ap.name}_{name}"] = sens
         return funcsSens
 

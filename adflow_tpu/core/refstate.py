@@ -71,6 +71,7 @@ class AeroProblem:
         evalFuncs: Sequence[str] = (),
         rotRate: Optional[Sequence[float]] = None,
         rotCenter: Sequence[float] = (0.0, 0.0, 0.0),
+        machGrid: float = 0.0,
         **kwargs,
     ):
         self.name = name
@@ -87,6 +88,10 @@ class AeroProblem:
         # consumed by gridVelocitiesFineLevel): rad/s, dimensional
         self.rotRate = None if rotRate is None else [float(r) for r in rotRate]
         self.rotCenter = [float(c) for c in rotCenter]
+        # uniform grid translation Mach (reference inputPhysics machGrid:
+        # grid velocity = -machGrid * aInf * velDirFreestream,
+        # solverUtils.F90:414)
+        self.machGrid = float(machGrid)
         self.solverOptions: Dict = dict(kwargs.pop("solverOptions", {}))
         # Unknown extra kwargs are stored (parity with baseclasses tolerance).
         self._extras = kwargs

@@ -131,3 +131,67 @@ def test_extra_dv_xref_sensitivity():
     # (exact for the body-axis force decomposition)
     # T sensitivity exists and is zero for Euler (no viscosity chain)
     assert abs(sens["dv_cmz"]["T"]) < 1e-12
+
+
+def test_extra_dv_p_rho_sensitivity():
+    """Freestream P / rho totals (reference iDV['p']/iDV['rho'],
+    pyADflow.py:6450-6451). The nondim state is P-independent, so the
+    dimensional-lift total has the exact analytic value
+    d(lift)/dP = lift/P (lift = cl * 0.5*gamma*P*M^2 * Aref), and the
+    gas-law chain gives d(lift)/drho|_T = R T lift/P = lift/rho."""
+    from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+    solver = ADFLOW(options=dict(OPTS), mesh=naca0012_omesh(ni=48, nj=16))
+    ap = AeroProblem(name="pr", mach=0.5, alpha=2.0, evalFuncs=["lift"])
+    solver(ap)
+    funcs, sens = {}, {}
+    solver.evalFunctions(ap, funcs, evalFuncs=["lift"])
+    solver.evalFunctionsSens(ap, sens, evalFuncs=["lift"])
+    lift = funcs["pr_lift"]
+    gP = sens["pr_lift"]["P"]
+    grho = sens["pr_lift"]["rho"]
+    assert abs(gP - lift / ap.P) < 1e-6 * abs(lift / ap.P), (gP, lift / ap.P)
+    assert abs(grho - lift / ap.rho) < 1e-6 * abs(lift / ap.rho)
+    # cl is a coefficient: P must not move it
+    sens2 = {}
+    solver.evalFunctionsSens(ap, sens2, evalFuncs=["cl"])
+    assert abs(sens2["pr_cl"]["P"]) < 1e-12
+
+
+def test_grid_motion_dvs_fd():
+    """machGrid and rotRate adjoint totals vs central finite differences
+    of full re-solves (reference extra DVs machgrid/rotx..rotz/rotcen*,
+    pyADflow.py:6447-6457; grid velocities solverUtils.F90:358,414).
+    Also covers the traced-metrics grid-motion attach in the adjoint
+    _prep — without it these totals are silently zero/wrong."""
+    from adflow_tpu.meshgen.analytic import naca0012_omesh
+
+    MG0, RZ0 = 0.05, 5.0   # grid translation Mach; z rotation rate rad/s
+
+    def solve(mg, rz):
+        s = ADFLOW(options=dict(OPTS), mesh=naca0012_omesh(ni=48, nj=16))
+        ap = AeroProblem(name="gm", mach=0.5, alpha=2.0, machGrid=mg,
+                         rotRate=(0.0, 0.0, rz),
+                         rotCenter=(0.25, 0.0, 0.0), evalFuncs=["cl"])
+        s(ap)
+        return s, ap
+
+    s, ap = solve(MG0, RZ0)
+    sens = {}
+    s.evalFunctionsSens(ap, sens, evalFuncs=["cl"])
+    g_mg = sens["gm_cl"]["machGrid"]
+    g_rz = sens["gm_cl"]["rotRate"][2]
+
+    def cl_at(mg, rz):
+        s2, ap2 = solve(mg, rz)
+        f = {}
+        s2.evalFunctions(ap2, f, evalFuncs=["cl"])
+        return f["gm_cl"]
+
+    eps = 2e-3
+    fd_mg = (cl_at(MG0 + eps, RZ0) - cl_at(MG0 - eps, RZ0)) / (2 * eps)
+    assert abs(g_mg - fd_mg) / max(abs(fd_mg), 1e-12) < 1e-3, (g_mg, fd_mg)
+    epsr = 0.5
+    fd_rz = (cl_at(MG0, RZ0 + epsr) - cl_at(MG0, RZ0 - epsr)) / (2 * epsr)
+    assert abs(g_rz - fd_rz) / max(abs(fd_rz), 1e-12) < 1e-3, (g_rz, fd_rz)
+    assert np.all(np.isfinite(sens["gm_cl"]["rotCenter"]))
