@@ -785,6 +785,87 @@ class ADFLOW:
         imbalance = float(sizes.max() / ideal - 1.0)
         return imbalance, 0.0
 
+    def checkOverset(self, printReport: bool = True) -> dict:
+        """Overset-connectivity quality report (reference: the
+        ``oversetCheck.py`` / ``checkZipper.py`` diagnostic scripts):
+        per-mesh counts of compute/fringe/hole cells, interpolation
+        groups, and orphans (fringes whose donor search found no
+        containing cell — they fall back to neighbor averaging)."""
+        out = {"n_blocks": len(self.mesh.blocks),
+               "n_cells": self.mesh.n_cells,
+               "compute": self.mesh.n_cells, "fringe": 0, "hole": 0,
+               "orphans": 0, "groups": 0}
+        tab = self.topo.overset
+        if tab is not None:
+            ibl = np.concatenate([np.ravel(b) for b in tab.iblank])
+            out["compute"] = int((ibl == 1).sum())
+            out["fringe"] = int((ibl == -1).sum())
+            out["hole"] = int((ibl == 0).sum())
+            out["orphans"] = int(getattr(tab, "n_orphans", 0))
+            out["groups"] = len(tab.groups)
+        gaps = getattr(self, "zipper_gaps", None)
+        out["zipper_gap_tris"] = (0 if gaps is None
+                                  else int(gaps.patch_idx.shape[0]))
+        if printReport:
+            print(f"Overset check: {out['n_blocks']} blocks, "
+                  f"{out['n_cells']} cells -> {out['compute']} compute, "
+                  f"{out['fringe']} fringe, {out['hole']} hole; "
+                  f"{out['orphans']} orphans; "
+                  f"{out['zipper_gap_tris']} zipper gap triangles")
+        return out
+
+    def solveAdjointForRHS(self, inVec, relTol=None):
+        """Solve (dR/dw)^T psi = inVec for an arbitrary RHS vector
+        (reference: pyADflow.solveAdjointForRHS:4222)."""
+        from adflow_tpu.adjoint.api import solve_adjoint_system
+        if relTol is None:
+            relTol = float(self.options["adjointL2Convergence"])
+        fns = self._adjoint_fns()
+        wvec, xvec = self._wx_vecs()
+        params = self._ap_params(self.curAP)
+        sub = int(self.options["adjointSubspaceSize"])
+        sol = solve_adjoint_system(
+            fns, self, wvec, xvec, params,
+            jnp.asarray(inVec, self.dtype).reshape(-1), tol=relTol,
+            subspace=sub,
+            restarts=max(1, int(self.options["adjointMaxIter"]) // sub))
+        return np.asarray(sol.x)
+
+    def solveDirectForRHS(self, inVec, relTol=None):
+        """Solve the direct (untransposed) system (dR/dw) x = inVec
+        (reference: pyADflow.solveDirectForRHS:4242) with matrix-free
+        GMRES + the block line-implicit preconditioner."""
+        from adflow_tpu.solvers.krylov import gmres
+        from adflow_tpu.solvers.linpc import line_pc_apply
+        if relTol is None:
+            relTol = float(self.options["adjointL2Convergence"])
+        nfns = self._newton_fns()
+        fns = self._adjoint_fns()
+        wvec, xvec = self._wx_vecs()
+        params = self._ap_params(self.curAP)
+
+        def matvec(v):
+            _, jv = jax.jvp(lambda w: fns.res(w, xvec, params),
+                            (wvec,), (v,))
+            return jv
+
+        data_list = nfns.collect_pc_data(wvec,
+                                         jnp.asarray(1e6, wvec.dtype))
+
+        def precond(v):
+            vb = nfns.packer.unpack(v)
+            return nfns.packer.pack(
+                [line_pc_apply(d, vv)
+                 for d, vv in zip(data_list, vb)])
+
+        sub = int(self.options["adjointSubspaceSize"])
+        sol = gmres(matvec, jnp.asarray(inVec, self.dtype).reshape(-1),
+                    m=sub,
+                    restarts=max(1, int(self.options["adjointMaxIter"])
+                                 // sub),
+                    tol=relTol, precond=precond)
+        return np.asarray(sol.x)
+
     def _fmg_start(self, opt):
         """Full-multigrid start (reference: the mgStartLevel groundLevel
         loop, solvers.F90:63 + FMG transfer transferToFineGrid:326):

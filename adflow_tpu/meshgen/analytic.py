@@ -174,7 +174,8 @@ def _stretched_coords(n: int, d0: float, total: float) -> np.ndarray:
 
 def flatplate_mesh(ni=48, nj=32, plate_start_frac=0.25, length=1.0,
                    height=0.5, width=0.05, wall_spacing=5e-4,
-                   isothermal: Optional[float] = None) -> MultiBlockMesh:
+                   isothermal: Optional[float] = None,
+                   nk: int = 1) -> MultiBlockMesh:
     """Laminar flat-plate: symmetry upstream of the plate then no-slip wall
     on jmin; inflow/outflow on imin/imax; farfield above. Reference analogue:
     the laminar-NS regression cases (tests/reg_tests/test_solve.py laminar)."""
@@ -183,7 +184,6 @@ def flatplate_mesh(ni=48, nj=32, plate_start_frac=0.25, length=1.0,
     x_plate = _stretched_coords(ni - n_up, length / (ni - n_up) / 3.0, length)
     xi = np.concatenate([x_up, x_plate[1:]])
     eta = _stretched_coords(nj, wall_spacing, height)
-    nk = 1
     zeta = np.linspace(0.0, width, nk + 1)
     X, Y, Z = np.meshgrid(xi, eta, zeta, indexing="ij")
     x = np.stack([X, Y, Z], axis=-1)

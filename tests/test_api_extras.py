@@ -169,3 +169,37 @@ def test_target_cp_and_partitioning():
     assert np.isfinite(sens["tc_cperror2"]["alpha"])
     imb, _ = s.checkPartitioning(4)
     assert 0.0 <= imb < 1.0
+
+
+def test_solve_rhs_systems():
+    """solveAdjointForRHS / solveDirectForRHS (reference pyADflow.py:4222,
+    4242): the returned vector must satisfy its linear system — verified
+    by applying the matrix-free J / J^T products to the solution."""
+    import jax.numpy as jnp
+
+    s = _solver(nCycles=30)
+    ap = AeroProblem(name="rhs", mach=0.5, alpha=1.0, evalFuncs=["cl"])
+    s(ap)
+    rng = np.random.default_rng(3)
+    wvec, xvec = s._wx_vecs()
+    b = rng.normal(size=wvec.shape)
+
+    psi = s.solveAdjointForRHS(b, relTol=1e-10)
+    jtpsi = s.computeJacobianVectorProductBwd(resBar=psi, wDeriv=True)
+    rel_t = np.linalg.norm(np.asarray(jtpsi) - b) / np.linalg.norm(b)
+    assert rel_t < 1e-6, rel_t
+
+    x = s.solveDirectForRHS(b, relTol=1e-10)
+    jx = s.computeJacobianVectorProductFwd(wDot=jnp.asarray(x),
+                                           residualDeriv=True)
+    rel_d = np.linalg.norm(np.asarray(jx) - b) / np.linalg.norm(b)
+    assert rel_d < 1e-6, rel_d
+
+
+def test_check_overset_report(capsys):
+    """checkOverset on a plain (non-overset) mesh: all-compute report."""
+    s = _solver()
+    out = s.checkOverset()
+    assert out["hole"] == 0 and out["fringe"] == 0 and out["orphans"] == 0
+    assert out["compute"] == s.mesh.n_cells
+    assert "Overset check" in capsys.readouterr().out
