@@ -414,9 +414,17 @@ def make_ank_step(fns: NewtonFns, opts, segregated: bool = False,
         # is the reference's lambda for the ANKStepMin/ANKConstCFLStep CFL
         # gates: the merit search legitimately halves alpha on good steps,
         # which must not freeze the CFL ramp
-        return (wnew, rnorm, rnew, alpha, alpha0, sol.iters,
-                sol.res_norm / jnp.maximum(sol.b_norm, 1e-30),
-                mnew / jnp.maximum(rnorm, 1e-30))
+        # all iteration scalars in ONE output array: the driver fetches
+        # them with a single host transfer — separate float() pulls cost
+        # one tunnel/device round trip EACH and dominate per-iteration
+        # wall time at small problem sizes (measured ~1 s/iter at 2k
+        # cells on the TPU tunnel)
+        stats = jnp.stack([
+            rnorm, rnew, alpha, alpha0,
+            jnp.asarray(sol.iters, wvec.dtype),
+            sol.res_norm / jnp.maximum(sol.b_norm, 1e-30),
+            mnew / jnp.maximum(rnorm, 1e-30)])
+        return wnew, stats
 
     return ank_step
 
@@ -473,7 +481,11 @@ def make_nk_step(fns: NewtonFns, opts):
             (alpha, _), _ = jax.lax.scan(body, (alpha0, f0), None, length=4)
         wnew = wvec + alpha * sol.x
         rnew = jnp.linalg.norm(fns.res_flat(wnew))
-        return wnew, rnorm, rnew, alpha, sol.iters, sol.res_norm / jnp.maximum(sol.b_norm, 1e-30)
+        # single stats vector -> single host transfer (see ank_step)
+        stats = jnp.stack([rnorm, rnew, alpha,
+                           jnp.asarray(sol.iters, wvec.dtype),
+                           sol.res_norm / jnp.maximum(sol.b_norm, 1e-30)])
+        return wnew, stats
 
     return nk_step
 
@@ -660,18 +672,18 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             if signal_check is not None and signal_check(
                     lambda: fns.packer.unpack_into(wvec, w_list)) == "stop":
                 break
-            (wnew, rn, rnew, alpha, alpha0, kiters, linres,
-             umerit) = ank_step_for(rnorm)(
+            wnew, stats = ank_step_for(rnorm)(
                 wvec, jnp.asarray(cfl, dtype),
                 lagged.get(it, wvec, rnorm, cfl))
-            rnew_f = float(rnew)
-            linres_f = float(linres)
+            st = np.asarray(stats)          # ONE device->host transfer
+            (_, rnew_f, _alpha_f, alpha0_f, _kiters_f, linres_f,
+             umerit_f) = (float(v) for v in st)
             it += 1
             # accept on the unsteady-residual merit (time marching), not on
             # steady-residual descent (reference: ANK always steps once the
             # unsteady LS passes)
             bad = (not np.isfinite(rnew_f)
-                   or float(umerit) > unsteady_ls_tol
+                   or umerit_f > unsteady_ls_tol
                    or rnew_f > 100.0 * best_r)
             if bad:
                 cfl_cap = max(cfl * cutback, cfl_min)
@@ -709,7 +721,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             # PHYSICALITY step alpha0 (the reference's lambda):
             # alpha0 <= ANKStepMin forces a cutback; alpha0 below
             # ANKConstCFLStep holds the CFL constant (no ramp).
-            alpha_f = float(alpha0)
+            alpha_f = alpha0_f
             if alpha_f <= float(opts["ANKStepMin"]) + 1e-12:
                 cfl_cap = max(cfl * cutback, cfl_min)
                 cfl = max(cfl * cutback, cfl_min)
@@ -783,10 +795,11 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             if signal_check is not None and signal_check(
                     lambda: fns.packer.unpack_into(wvec, w_list)) == "stop":
                 break
-            wnew, rn, rnew, alpha, kiters, linres = nk_step(
+            wnew, stats = nk_step(
                 wvec, jnp.asarray(eta, dtype),
                 lagged.get(it, wvec, rnorm, 1e6))
-            rnew_f = float(rnew)
+            st = np.asarray(stats)          # ONE device->host transfer
+            rnew_f = float(st[1])
             if not np.isfinite(rnew_f):
                 failed = True
                 break
@@ -795,7 +808,7 @@ def solve_newton_driver(w_list, metrics_list, topo, cfg, ref, winf, opts,
             rnorm = rnew_f
             it += 1
             hist.append(np.array([[rnorm, 0.0]]))
-            _mon(it, rnorm, 0.0, linres=float(linres), itertype="NK")
+            _mon(it, rnorm, 0.0, linres=float(st[4]), itertype="NK")
             if use_ew:
                 # Eisenstat-Walker choice 2 (reference getEWTol:1606)
                 eta = min(eta_max,

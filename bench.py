@@ -354,7 +354,7 @@ def solve_bench(detail):
         "equationType": "RANS",
         "precision": "float32",
         "L2Convergence": 1e-8,
-        "nCycles": 400,
+        "nCycles": 200,
         "ANKSwitchTol": 1.5,
         "useNKSolver": True,
         "NKSwitchTol": 1e-4,
@@ -363,7 +363,12 @@ def solve_bench(detail):
         "timeLimit": 240.0,
     }
     log("probe 1 (turbulent flat plate deep convergence): building")
-    mesh2 = flatplate_mesh(ni=48, nj=48, wall_spacing=2e-5, height=0.5)
+    # 96x48x4 = 18,432 cells: 8x the r04 probe, but the SAME line-PC
+    # line length (nj=48) — line length is what drives the ANK module
+    # compile cost on the tunnel (measured: nj=96 at 147k cells costs
+    # >470 s first-iteration compile and cannot fit the budget)
+    mesh2 = flatplate_mesh(ni=96, nj=48, nk=4, wall_spacing=2e-5,
+                           height=0.5)
     opts["timeLimit"] = max(remaining() - 120.0, 60.0)
     s2 = ADFLOW(options=opts, mesh=mesh2)
     log("probe 1: solver built, solving")
@@ -372,13 +377,12 @@ def solve_bench(detail):
     t0 = time.perf_counter()
     s2(ap2)
     wall2 = time.perf_counter() - t0
-    log(f"probe 1: solve returned after {wall2:.0f}s")
+    log(f"probe 1: cold solve returned after {wall2:.0f}s")
     info2 = s2.solve_info
     rel2 = info2.total_r_final / max(info2.total_r0, 1e-300)
     f2 = {}
     s2.evalFunctions(ap2, f2)
-    cpph = mesh2.n_cells * 3600.0 / max(wall2, 1e-9)
-    out["flatplate_deep"] = {
+    ent = {
         "n_cells": mesh2.n_cells,
         "case": "turbulent flat plate RANS, M 0.3 Re 2e6",
         "target_rel": 1e-8,
@@ -386,14 +390,34 @@ def solve_bench(detail):
         "converged": bool(info2.converged),
         "seconds": round(wall2, 1),
         "iterations": int(info2.iterations),
-        "cpph": int(cpph),
+        "cpph": int(mesh2.n_cells * 3600.0 / max(wall2, 1e-9)),
         "cd": round(float(f2["fp_cd"]), 8),
         "dtype": "float32 (ANK->NK; 1e-8 via precision='mixed' is "
                  "CPU-validated — emulated-f64 compiles exceed the "
                  "tunnel budget, NOTES_TPU_INFRA)",
         "ref_cpph_per_proc": 1_000_000,
     }
+    out["flatplate_deep"] = ent
     print(json.dumps(out), flush=True)   # partial result survives a cap
+    # WARM re-solve in the same process: every jitted module is already
+    # compiled, so this measures the steady-state solver — the number
+    # comparable to the reference's CPPH bar (which excludes build/compile;
+    # one-time compile is this stack's analogue of the reference's build)
+    if remaining() > 1.15 * wall2 + 60.0 and info2.iterations >= 10:
+        log("probe 1: warm re-solve")
+        s2.resetFlow(ap2)
+        t0 = time.perf_counter()
+        s2(ap2)
+        wall_w = time.perf_counter() - t0
+        log(f"probe 1: warm solve returned after {wall_w:.0f}s")
+        iw = s2.solve_info
+        ent["seconds_warm"] = round(wall_w, 1)
+        ent["iterations_warm"] = int(iw.iterations)
+        ent["cpph_warm"] = int(mesh2.n_cells * 3600.0 / max(wall_w, 1e-9))
+        ent["achieved_rel_warm"] = float(
+            f"{iw.total_r_final / max(iw.total_r0, 1e-300):.3e}")
+        print(json.dumps(out), flush=True)
+    cpph = ent.get("cpph_warm", ent["cpph"])
 
     # --- probe 2: the BASELINE.md north-star case, reported honestly ---
     # transonic M6-class wing, f32 (the f64 continuation does not help
@@ -508,22 +532,36 @@ def main():
             detail["solve_error"] = str(e)[:200]
     except Exception as e:
         detail["solve_error"] = str(e)[:200]
-    # Mosaic-kernel variants in a throwaway subprocess (fault isolation)
-    try:
-        pr = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--pallas-probe"],
-            capture_output=True, text=True, timeout=300)
-        for line in pr.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                pal = json.loads(line)
-                detail["throughput"].update(pal)
-                break
-        else:
-            detail["throughput"]["pallas_probe_error"] = (
-                pr.stderr.strip()[-160:] or f"rc={pr.returncode}")
-    except Exception as e:
-        detail["throughput"]["pallas_probe_error"] = str(e)[:160]
+    # Mosaic-kernel variants in a throwaway subprocess (fault isolation).
+    # The fault is a per-dispatch lottery (~25-50%, NOTES_TPU_INFRA fact
+    # 7/8): retry a few times in FRESH subprocesses — compiles are cached
+    # after the first attempt, so retries are cheap — and keep the first
+    # attempt that produced a validated timing.
+    for attempt in range(3):
+        try:
+            pr = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--pallas-probe"],
+                capture_output=True, text=True,
+                timeout=300 if attempt == 0 else 240)
+            pal = None
+            for line in pr.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    pal = json.loads(line)
+                    break
+            if pal is None:
+                detail["throughput"]["pallas_probe_error"] = (
+                    pr.stderr.strip()[-160:] or f"rc={pr.returncode}")
+                continue
+            detail["throughput"].update(pal)
+            detail["throughput"].pop("pallas_probe_error", None)
+            detail["throughput"]["pallas_attempts"] = attempt + 1
+            if any("mcell_evals_per_s" in v for v in pal.values()
+                   if isinstance(v, dict)):
+                break      # validated number recorded — stop retrying
+        except Exception as e:
+            detail["throughput"]["pallas_probe_error"] = str(e)[:160]
 
     # headline is the best VALIDATED full-residual rate across paths
     pal_full = detail["throughput"].get("pallas_full_two_dispatch", {})
